@@ -1,0 +1,370 @@
+"""FCOS, TPU-native.
+
+Functional redesign of the reference FCOS
+(`slender_det/modeling/meta_arch/fcos/fcos.py:174-582`) with identical
+semantics but XLA-friendly structure:
+
+- per-image Python loops in gt assignment (reference fcos.py:112-163) become a
+  single vmapped fixed-shape computation over padded gt tensors
+- variable-length candidate selection + CUDA NMS at inference
+  (fcos.py:374-470) becomes per-level fixed-k top-k with validity masks and a
+  fixed-shape greedy NMS (ops/nms.py)
+- cross-GPU `reduce_sum` loss normalizers (fcos.py:26-31,286,304) are plain
+  global sums: under jit-with-sharding the batch is logically global, so XLA
+  inserts the psum automatically when the batch is sharded over the mesh
+- normalization (x - mean) / std runs inside the jitted graph so uint8 images
+  can be shipped to HBM and converted on-chip (4x less host->device traffic)
+
+Head: shared 4-conv cls/bbox towers with GN, per-level learnable Scale on the
+bbox pred, exp() decoding (NORM_REG_TARGETS=False path) — fcos.py:476-582.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.losses import iou_loss_ltrb, optax_sigmoid_ce, sigmoid_focal_loss
+from ...ops.nms import batched_nms
+from ...structures import boxes as box_ops
+from ..anchors import fcos_locations
+from ..backbones.fpn import build_backbone
+from ..layers import GroupNorm32, Scale
+
+INF = 1e8
+
+# object size-of-interest ranges per FPN level (reference fcos.py:330-336)
+SIZES_OF_INTEREST = ((-1, 64), (64, 128), (128, 256), (256, 512), (512, INF))
+
+
+def _conv_init():
+    return nn.initializers.normal(stddev=0.01)
+
+
+class FCOSHead(nn.Module):
+    num_classes: int
+    num_convs: int = 4
+    prior_prob: float = 0.01
+    centerness_on_reg: bool = False
+    norm_reg_targets: bool = False
+    strides: Sequence[int] = (8, 16, 32, 64, 128)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray], train: bool = False):
+        """feats: list of (B, H_l, W_l, C). Returns per-level lists of
+        (B, H*W, num_classes) logits, (B, H*W, 4) reg, (B, H*W) centerness."""
+        c = feats[0].shape[-1]
+        bias_init = nn.initializers.constant(
+            -math.log((1 - self.prior_prob) / self.prior_prob)
+        )
+
+        cls_tower = [
+            (
+                nn.Conv(c, (3, 3), padding=1, dtype=self.dtype,
+                        param_dtype=jnp.float32, kernel_init=_conv_init(),
+                        name=f"cls_tower{i}"),
+                GroupNorm32(c, name=f"cls_tower_gn{i}"),
+            )
+            for i in range(self.num_convs)
+        ]
+        bbox_tower = [
+            (
+                nn.Conv(c, (3, 3), padding=1, dtype=self.dtype,
+                        param_dtype=jnp.float32, kernel_init=_conv_init(),
+                        name=f"bbox_tower{i}"),
+                GroupNorm32(c, name=f"bbox_tower_gn{i}"),
+            )
+            for i in range(self.num_convs)
+        ]
+        cls_logits = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=self.dtype,
+                             param_dtype=jnp.float32, kernel_init=_conv_init(),
+                             bias_init=bias_init, name="cls_logits")
+        bbox_pred = nn.Conv(4, (3, 3), padding=1, dtype=self.dtype,
+                            param_dtype=jnp.float32, kernel_init=_conv_init(),
+                            name="bbox_pred")
+        centerness = nn.Conv(1, (3, 3), padding=1, dtype=self.dtype,
+                             param_dtype=jnp.float32, kernel_init=_conv_init(),
+                             name="centerness")
+        scales = [Scale(name=f"scale{i}") for i in range(len(feats))]
+
+        logits_all, reg_all, ctr_all = [], [], []
+        for lvl, feat in enumerate(feats):
+            b, h, w, _ = feat.shape
+            ct = feat
+            for conv, gn in cls_tower:
+                ct = nn.relu(gn(conv(ct)))
+            bt = feat
+            for conv, gn in bbox_tower:
+                bt = nn.relu(gn(conv(bt)))
+
+            logits = cls_logits(ct).astype(jnp.float32)
+            ctr_src = bt if self.centerness_on_reg else ct
+            ctr = centerness(ctr_src).astype(jnp.float32)
+
+            reg = scales[lvl](bbox_pred(bt).astype(jnp.float32))
+            if self.norm_reg_targets:
+                reg = nn.relu(reg)
+                if not train:
+                    reg = reg * self.strides[lvl]
+            else:
+                reg = jnp.exp(reg)
+
+            logits_all.append(logits.reshape(b, h * w, self.num_classes))
+            reg_all.append(reg.reshape(b, h * w, 4))
+            ctr_all.append(ctr.reshape(b, h * w))
+        return logits_all, reg_all, ctr_all
+
+
+class FCOSModule(nn.Module):
+    """Backbone + FPN + FCOS head over fixed-shape NHWC images."""
+
+    backbone: nn.Module
+    head: FCOSHead
+    in_features: Tuple[str, ...]
+    pixel_mean: Tuple[float, ...]
+    pixel_std: Tuple[float, ...]
+    dtype: Any = jnp.float32
+
+    def __call__(self, images: jnp.ndarray, train: bool = False):
+        x = images.astype(jnp.float32)
+        x = (x - jnp.asarray(self.pixel_mean)) / jnp.asarray(self.pixel_std)
+        x = x.astype(self.dtype)
+        feats = self.backbone(x)
+        feats = [feats[f] for f in self.in_features]
+        return self.head(feats, train=train)
+
+
+# ---------------------------------------------------------------- targets
+def fcos_assign_single(
+    locations: jnp.ndarray,       # (L, 2) xy
+    sizes_of_interest: jnp.ndarray,  # (L, 2)
+    gt_boxes: jnp.ndarray,        # (G, 4) XYXY
+    gt_classes: jnp.ndarray,      # (G,) int32
+    gt_valid: jnp.ndarray,        # (G,) bool
+    num_classes: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-image FCOS target assignment (reference fcos.py:112-163),
+    fully vectorized. Returns labels (L,) int32 and reg targets (L, 4)."""
+    ltrb = box_ops.ltrb_from_locations(locations, gt_boxes)  # (L, G, 4)
+    is_in_box = jnp.min(ltrb, axis=2) > 0
+    max_reg = jnp.max(ltrb, axis=2)
+    cared = (max_reg >= sizes_of_interest[:, 0:1]) & (
+        max_reg <= sizes_of_interest[:, 1:2]
+    )
+    areas = box_ops.area(gt_boxes)  # (G,)
+    loc2gt = jnp.where(
+        is_in_box & cared & gt_valid[None, :], areas[None, :], INF
+    )
+    min_area = jnp.min(loc2gt, axis=1)
+    gt_ind = jnp.argmin(loc2gt, axis=1)
+
+    reg_targets = jnp.take_along_axis(
+        ltrb, gt_ind[:, None, None].repeat(4, axis=2), axis=1
+    ).squeeze(1)
+    labels = jnp.where(min_area >= INF, num_classes, gt_classes[gt_ind])
+    return labels.astype(jnp.int32), reg_targets
+
+
+def compute_centerness_targets(reg_targets: jnp.ndarray) -> jnp.ndarray:
+    """sqrt((min(l,r)/max(l,r)) * (min(t,b)/max(t,b))) — fcos.py:166-171."""
+    lr = reg_targets[..., 0::2]
+    tb = reg_targets[..., 1::2]
+    eps = 1e-12
+    c = (jnp.min(lr, -1) / jnp.maximum(jnp.max(lr, -1), eps)) * (
+        jnp.min(tb, -1) / jnp.maximum(jnp.max(tb, -1), eps)
+    )
+    return jnp.sqrt(jnp.clip(c, 0.0, None))
+
+
+class FCOS:
+    """Config-driven FCOS detector: owns the Flax module plus pure loss /
+    inference functions over fixed-shape batches."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+        f = cfg.MODEL.FCOS
+        spec = build_backbone(cfg, dtype=dtype)
+        self.backbone_spec = spec
+        head = FCOSHead(
+            num_classes=f.NUM_CLASSES,
+            num_convs=f.NUM_CONVS,
+            prior_prob=f.PRIOR_PROB,
+            centerness_on_reg=f.CENTERNESS_ON_REG,
+            norm_reg_targets=f.NORM_REG_TARGETS,
+            strides=tuple(f.FPN_STRIDES),
+            dtype=dtype,
+        )
+        self.module = FCOSModule(
+            backbone=spec.module,
+            head=head,
+            in_features=tuple(f.IN_FEATURES),
+            pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+            pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+            dtype=dtype,
+        )
+        self.num_classes = f.NUM_CLASSES
+        self.strides = list(f.FPN_STRIDES)
+        self.focal_alpha = f.FOCAL_LOSS_ALPHA
+        self.focal_gamma = f.FOCAL_LOSS_GAMMA
+        self.iou_loss_type = f.IOU_LOSS_TYPE
+        self.norm_reg_targets = f.NORM_REG_TARGETS
+        self.pre_nms_thresh = f.INFERENCE_TH
+        self.pre_nms_top_n = f.PRE_NMS_TOP_N
+        self.nms_thresh = f.NMS_TH
+        self.max_dets = cfg.TEST.DETECTIONS_PER_IMAGE
+
+    # ------------------------------------------------------------ helpers
+    def init_variables(self, rng, image_hw: Tuple[int, int], batch_size: int = 1):
+        images = jnp.zeros((batch_size, *image_hw, 3), jnp.float32)
+        return self.module.init(rng, images, train=True)
+
+    def _locations(self, image_hw) -> Tuple[np.ndarray, List[int]]:
+        return fcos_locations(image_hw, self.strides)
+
+    def _sizes_of_interest(self, counts: List[int]) -> np.ndarray:
+        soi = [
+            np.broadcast_to(np.array(SIZES_OF_INTEREST[i], np.float32), (c, 2))
+            for i, c in enumerate(counts)
+        ]
+        return np.concatenate(soi, axis=0)
+
+    # --------------------------------------------------------------- loss
+    def loss(self, variables, batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        images = batch["image"]
+        image_hw = images.shape[1:3]
+        locations_np, counts = self._locations(image_hw)
+        locations = jnp.asarray(locations_np)
+        soi = jnp.asarray(self._sizes_of_interest(counts))
+
+        logits_l, reg_l, ctr_l = self.module.apply(variables, images, train=True)
+        logits = jnp.concatenate(logits_l, axis=1)  # (B, L, C)
+        reg = jnp.concatenate(reg_l, axis=1)        # (B, L, 4)
+        ctr = jnp.concatenate(ctr_l, axis=1)        # (B, L)
+
+        labels, reg_targets = jax.vmap(
+            partial(fcos_assign_single, num_classes=self.num_classes),
+            in_axes=(None, None, 0, 0, 0),
+        )(locations, soi, batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"])
+
+        if self.norm_reg_targets:
+            stride_per_loc = jnp.asarray(
+                np.concatenate([
+                    np.full((c,), s, np.float32)
+                    for c, s in zip(counts, self.strides)
+                ])
+            )
+            reg_targets = reg_targets / stride_per_loc[None, :, None]
+
+        pos = labels < self.num_classes  # (B, L)
+        num_pos = jnp.maximum(jnp.sum(pos), 1.0)
+
+        # focal classification loss over all locations
+        onehot = jax.nn.one_hot(labels, self.num_classes, dtype=jnp.float32)
+        onehot = onehot * pos[..., None]
+        cls_loss = jnp.sum(
+            sigmoid_focal_loss(logits, onehot, self.focal_alpha, self.focal_gamma)
+        ) / num_pos
+
+        # centerness-weighted IoU regression loss on positives
+        ctr_targets = compute_centerness_targets(reg_targets)
+        ctr_targets = jnp.where(pos, ctr_targets, 0.0)
+        sum_ctr = jnp.maximum(jnp.sum(ctr_targets), 1e-6)
+        reg_losses = iou_loss_ltrb(reg, reg_targets, self.iou_loss_type)
+        reg_loss = jnp.sum(jnp.where(pos, reg_losses * ctr_targets, 0.0)) / sum_ctr
+
+        ctr_loss = jnp.sum(
+            jnp.where(pos, optax_sigmoid_ce(ctr, ctr_targets), 0.0)
+        ) / num_pos
+
+        total = cls_loss + reg_loss + ctr_loss
+        metrics = {
+            "cls_loss": cls_loss,
+            "reg_loss": reg_loss,
+            "centerness_loss": ctr_loss,
+            "num_pos": num_pos,
+        }
+        return total, metrics
+
+    # ---------------------------------------------------------- inference
+    def predict(self, variables, batch) -> Dict[str, jnp.ndarray]:
+        """Returns fixed-shape detections in ORIGINAL image coordinates:
+        boxes (B, D, 4), scores (B, D), classes (B, D), valid (B, D)."""
+        images = batch["image"]
+        image_hw = images.shape[1:3]
+        locations_np, counts = self._locations(image_hw)
+
+        logits_l, reg_l, ctr_l = self.module.apply(variables, images, train=False)
+
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        cand_boxes, cand_scores, cand_classes, cand_valid = [], [], [], []
+        for lvl in range(len(counts)):
+            locs = jnp.asarray(locations_np[offsets[lvl]: offsets[lvl + 1]])
+            b, s, c, v = _fcos_level_candidates(
+                logits_l[lvl], reg_l[lvl], ctr_l[lvl], locs,
+                self.pre_nms_thresh, self.pre_nms_top_n,
+            )
+            cand_boxes.append(b)
+            cand_scores.append(s)
+            cand_classes.append(c)
+            cand_valid.append(v)
+
+        boxes = jnp.concatenate(cand_boxes, axis=1)
+        scores = jnp.concatenate(cand_scores, axis=1)
+        classes = jnp.concatenate(cand_classes, axis=1)
+        valid = jnp.concatenate(cand_valid, axis=1)
+
+        def _nms_one(bx, sc, cl, vl, scale, orig_hw):
+            keep_idx, keep_valid = batched_nms(
+                bx, sc, cl, self.nms_thresh, self.max_dets, valid=vl
+            )
+            kb = bx[keep_idx] / scale
+            kb = box_ops.clip(kb, orig_hw[0], orig_hw[1])
+            return kb, sc[keep_idx], cl[keep_idx], keep_valid
+
+        out_boxes, out_scores, out_classes, out_valid = jax.vmap(_nms_one)(
+            boxes, scores, classes, valid,
+            batch["scale"].astype(jnp.float32),
+            batch["orig_size"].astype(jnp.float32),
+        )
+        return {
+            "boxes": out_boxes,
+            "scores": out_scores,
+            "classes": out_classes,
+            "valid": out_valid,
+        }
+
+
+def _fcos_level_candidates(logits, reg, ctr, locations, pre_nms_thresh, pre_nms_top_n):
+    """Fixed-shape per-level candidate selection (reference
+    fcos.py:389-470 rewritten without data-dependent shapes).
+
+    logits (B, L, C); reg (B, L, 4); ctr (B, L); locations (L, 2).
+    Returns (B, K, 4), (B, K), (B, K) int32, (B, K) bool with
+    K = min(pre_nms_top_n, L*C).
+    """
+    bsz, L, C = logits.shape
+    scores = jax.nn.sigmoid(logits)
+    ctrs = jax.nn.sigmoid(ctr)
+    candidate = scores > pre_nms_thresh          # (B, L, C)
+    ranked = scores * ctrs[:, :, None]           # cls * centerness
+
+    flat_rank = jnp.where(candidate, ranked, 0.0).reshape(bsz, L * C)
+    k = min(pre_nms_top_n, L * C)
+    top_scores, top_idx = jax.lax.top_k(flat_rank, k)   # (B, K)
+
+    loc_idx = top_idx // C
+    cls_idx = (top_idx % C).astype(jnp.int32)
+    valid = top_scores > 0.0
+
+    sel_reg = jnp.take_along_axis(reg, loc_idx[..., None], axis=1)  # (B,K,4)
+    sel_loc = locations[loc_idx]                                    # (B,K,2)
+    boxes = box_ops.decode_ltrb(sel_loc, sel_reg)
+    return boxes, jnp.sqrt(top_scores), cls_idx, valid

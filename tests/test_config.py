@@ -1,0 +1,74 @@
+import os
+
+import pytest
+
+from slenderobjdet_tpu.config import CfgNode, get_cfg
+
+REF_CONFIGS = "/root/reference/configs"
+
+
+def test_defaults_freeze_clone():
+    cfg = get_cfg()
+    assert cfg.MODEL.FCOS.NUM_CLASSES == 80
+    cfg.MODEL.FCOS.NUM_CLASSES = 20
+    cfg.freeze()
+    with pytest.raises(AttributeError):
+        cfg.MODEL.FCOS.NUM_CLASSES = 3
+    c2 = cfg.clone()
+    c2.defrost()
+    c2.MODEL.FCOS.NUM_CLASSES = 5
+    assert cfg.MODEL.FCOS.NUM_CLASSES == 20
+
+
+def test_merge_from_list():
+    cfg = get_cfg()
+    cfg.merge_from_list(["MODEL.FCOS.NMS_TH", "0.4", "SOLVER.MAX_ITER", "100"])
+    assert cfg.MODEL.FCOS.NMS_TH == 0.4
+    assert cfg.SOLVER.MAX_ITER == 100
+    with pytest.raises(KeyError):
+        cfg.merge_from_list(["MODEL.NOPE", "1"])
+
+
+def test_base_inheritance(tmp_path):
+    base = tmp_path / "base.yaml"
+    base.write_text("MODEL:\n  FCOS:\n    NMS_TH: 0.5\nSOLVER:\n  MAX_ITER: 10\n")
+    child = tmp_path / "child.yaml"
+    child.write_text('_BASE_: "base.yaml"\nSOLVER:\n  MAX_ITER: 20\n')
+    cfg = get_cfg()
+    cfg.merge_from_file(str(child))
+    assert cfg.MODEL.FCOS.NMS_TH == 0.5
+    assert cfg.SOLVER.MAX_ITER == 20
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CONFIGS), reason="reference not mounted")
+def test_all_reference_configs_parse():
+    """Every YAML in the reference's configs/ must merge cleanly
+    (BASELINE.md: configs must run unchanged)."""
+    import glob
+
+    # these two are broken in the reference itself: their _BASE_
+    # "Base-RCNN-FPN.yaml" does not exist in configs/rep-points/
+    known_broken = {
+        "rep-points/point_rpn_R_50_FPN_1x.yaml",
+        "rep-points/rep_points_rpn_R_50_FPN_1x.yaml",
+    }
+    failures = []
+    for f in glob.glob(os.path.join(REF_CONFIGS, "**/*.yaml"), recursive=True):
+        if os.path.relpath(f, REF_CONFIGS) in known_broken:
+            continue
+        cfg = get_cfg()
+        try:
+            cfg.merge_from_file(f)
+        except Exception as e:  # noqa: BLE001
+            failures.append((os.path.relpath(f, REF_CONFIGS), repr(e)))
+    assert not failures, failures
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CONFIGS), reason="reference not mounted")
+def test_eval_tag_anchor_sizes():
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(REF_CONFIGS, "retina/retinanet_R_50_FPN_1x.yaml"))
+    sizes = cfg.MODEL.ANCHOR_GENERATOR.SIZES
+    assert len(sizes) == 5 and len(sizes[0]) == 3
+    assert abs(sizes[0][0] - 32.0) < 1e-6
+    assert cfg.MODEL.META_ARCHITECTURE == "RetinaNet"
