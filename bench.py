@@ -1,0 +1,69 @@
+"""Headline benchmark: FCOS R-50-FPN inference throughput on one chip at the
+reference eval resolution (shortest edge 800, padded to 800x1344 — the
+fixed-shape equivalent of the reference's 800x1333 eval,
+`slender_det/evaluation/evaluator.py:42-85` protocol: warmup, then
+synchronized pure-compute timing).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline is measured against A100_FCOS_R50_IMG_S — detectron2-style FCOS
+R-50 inference on A100 (~40 img/s, fp16, batch 1); the BASELINE.md target is
+>2x that, i.e. vs_baseline > 2.0.
+"""
+
+import json
+import time
+
+A100_FCOS_R50_IMG_S = 40.0
+BATCH = 16
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _flagship_cfg
+    from slenderobjdet_tpu.models import build_model
+
+    cfg = _flagship_cfg()
+    det = build_model(cfg)
+    h, w = cfg.TPU.TEST_PAD_SHAPE
+
+    rng = jax.random.PRNGKey(0)
+    variables = det.init_variables(rng, (h, w), batch_size=BATCH)
+
+    r = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(r.randint(0, 255, (BATCH, h, w, 3)), jnp.uint8),
+        "scale": jnp.full((BATCH,), 800.0 / 1333.0, jnp.float32),
+        "orig_size": jnp.asarray([[1333, 2000]] * BATCH, jnp.float32),
+    }
+
+    predict = jax.jit(det.predict)
+    # NOTE: under the axon TPU tunnel, block_until_ready is a no-op and
+    # execution is deferred until a host fetch — so we fetch a (small) output
+    # every iteration to force + time real device work.
+    for _ in range(WARMUP):
+        np.asarray(predict(variables, batch)["scores"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = predict(variables, batch)
+        np.asarray(out["scores"])
+    dt = time.perf_counter() - t0
+
+    img_s = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "fcos_r50_fpn_inference_800x1344",
+        "value": round(img_s, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_s / A100_FCOS_R50_IMG_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

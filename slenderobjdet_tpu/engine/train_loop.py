@@ -1,0 +1,79 @@
+"""Data-parallel training step (jit + sharding), the TPU-native counterpart of
+detectron2 `SimpleTrainer.run_step` + DDP (reference train_net.py:182 →
+d2 SimpleTrainer; SURVEY.md §3.1 hot loop).
+
+One jitted function performs forward, backward, optimizer update. The batch is
+sharded over the mesh "data" axis; parameters and optimizer state are
+replicated. Loss normalizers (num_pos, centerness sums) are global sums inside
+the program, so XLA emits the cross-chip psum automatically — the hand-written
+`dist.all_reduce` calls of the reference (fcos.py:26-31) have no counterpart
+in model code.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import batch_sharding, replicated
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    buffers: Any          # non-trainable collections (FrozenBN affine)
+    opt_state: Any
+
+
+def create_train_state(detector, tx, rng, image_hw, batch_size: int) -> TrainState:
+    variables = detector.init_variables(rng, image_hw, batch_size=batch_size)
+    params = variables["params"]
+    buffers = variables.get("buffers", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        buffers=buffers,
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(
+    detector, tx, mesh: Optional[Mesh] = None, donate: bool = True
+) -> Callable[[TrainState, Dict], Tuple[TrainState, Dict]]:
+    def train_step(state: TrainState, batch: Dict):
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.buffers:
+                variables["buffers"] = state.buffers
+            return detector.loss(variables, batch)
+
+        (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state
+        )
+        metrics = dict(metrics)
+        metrics["total_loss"] = total
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )

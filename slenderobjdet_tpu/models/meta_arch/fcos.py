@@ -222,9 +222,16 @@ class FCOS:
         self.max_dets = cfg.TEST.DETECTIONS_PER_IMAGE
 
     # ------------------------------------------------------------ helpers
-    def init_variables(self, rng, image_hw: Tuple[int, int], batch_size: int = 1):
-        images = jnp.zeros((batch_size, *image_hw, 3), jnp.float32)
-        return self.module.init(rng, images, train=True)
+    def init_variables(self, rng, image_hw: Tuple[int, int] = (128, 128),
+                       batch_size: int = 1):
+        # All parameters are shape-independent (convs/GN/Scale), so init runs
+        # at a small canonical shape regardless of the training resolution —
+        # and under jit, as ONE compiled program instead of thousands of
+        # dispatches (critical under the axon TPU tunnel).
+        del image_hw, batch_size
+        images = jnp.zeros((1, 128, 128, 3), jnp.float32)
+        init_fn = jax.jit(partial(self.module.init, train=True))
+        return init_fn(rng, images)
 
     def _locations(self, image_hw) -> Tuple[np.ndarray, List[int]]:
         return fcos_locations(image_hw, self.strides)

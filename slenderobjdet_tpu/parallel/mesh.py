@@ -1,0 +1,60 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is NCCL data-parallel DDP
+(SURVEY.md §2.11: `detectron2.engine.launch` → one process per GPU,
+all_reduce in losses, gather at eval). The TPU-native design replaces all of
+that with a single jitted program over a `jax.sharding.Mesh`:
+
+- axis "data": batch sharding (the DP axis; collectives ride ICI)
+- axis "model": reserved for intra-layer (channel) sharding of wide heads
+
+Because loss normalizers are computed on the *global* (logical) batch inside
+one jit program, XLA inserts the psum that DDP did by hand — no explicit
+collectives needed in model code.
+
+Multi-host: the same program runs on every host via
+`jax.distributed.initialize()`; `make_mesh` uses the global device list.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.array(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def mesh_from_cfg(cfg, devices=None) -> Mesh:
+    return make_mesh(cfg.TPU.MESH_DATA, cfg.TPU.MESH_MODEL, devices=devices)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place every batch leaf with its leading axis sharded over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
