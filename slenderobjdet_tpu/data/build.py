@@ -1,0 +1,197 @@
+"""Loader builders + samplers.
+
+Counterpart of `slender_det/data/build.py:40-88`:
+- TrainingSampler: infinite shuffled index stream (seeded)
+- RepeatFactorTrainingSampler: category-frequency oversampling
+- RatioFactorTrainingSampler: slender-object oversampling with the
+  reference's exact repeat factors (build.py:16-28: 1.0 if ratio<1/5,
+  0.5 if <1/3, else 0.1 — implemented as repeat factor 1+f)
+- aspect-ratio (orientation) bucketing: batches are emitted per bucket so
+  each maps to one of two compiled shapes (landscape/portrait)
+- a one-thread prefetcher (this host has a single core; heavier parallel
+  decode belongs to the native C++ loader planned in ops/csrc)
+
+Batches are dicts of stacked numpy arrays + host-side lists (image ids).
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from .catalog import DatasetCatalog, MetadataCatalog
+from .mapper import DatasetMapper
+
+
+# ------------------------------------------------------------------ samplers
+def training_sampler(n: int, seed: int = 0, shuffle: bool = True) -> Iterator[int]:
+    g = np.random.default_rng(seed)
+    while True:
+        order = g.permutation(n) if shuffle else np.arange(n)
+        yield from order.tolist()
+
+
+def repeat_factors_from_ratios(dataset_dicts: List[dict]) -> np.ndarray:
+    """Reference RatioFactorTrainingSampler factors (data/build.py:16-28)."""
+    factors = []
+    for d in dataset_dicts:
+        f = 0.0
+        for anno in d.get("annotations", []):
+            r = anno.get("ratio", 1.0)
+            if r < 1 / 5:
+                f = max(f, 1.0)
+            elif r < 1 / 3:
+                f = max(f, 0.5)
+            else:
+                f = max(f, 0.1)
+        factors.append(1.0 + f)
+    return np.array(factors, np.float64)
+
+
+def repeat_factor_sampler(
+    repeat_factors: np.ndarray, seed: int = 0
+) -> Iterator[int]:
+    """Stochastic-rounding repeat-factor sampling (d2 semantics)."""
+    g = np.random.default_rng(seed)
+    n = len(repeat_factors)
+    int_part = np.floor(repeat_factors).astype(np.int64)
+    frac_part = repeat_factors - int_part
+    while True:
+        rands = g.random(n)
+        reps = int_part + (rands < frac_part).astype(np.int64)
+        indices = np.repeat(np.arange(n), reps)
+        g.shuffle(indices)
+        yield from indices.tolist()
+
+
+# ------------------------------------------------------------------- batching
+def _stack_batch(examples: List[Dict]) -> Dict:
+    out = {}
+    for key in ("image", "gt_boxes", "gt_classes", "gt_valid", "scale",
+                "orig_size", "image_size"):
+        out[key] = np.stack([e[key] for e in examples])
+    out["image_id"] = [e["image_id"] for e in examples]
+    return out
+
+
+class _Prefetcher:
+    def __init__(self, gen, depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._gen = gen
+        self._done = object()
+        self._thread = threading.Thread(target=self._work, daemon=True)
+        self._thread.start()
+
+    def _work(self):
+        try:
+            for item in self._gen:
+                self._q.put(item)
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            raise StopIteration
+        return item
+
+
+# ------------------------------------------------------------------- builders
+def get_detection_dataset_dicts(names) -> List[dict]:
+    if isinstance(names, str):
+        names = [names]
+    dicts = []
+    for name in names:
+        dicts.extend(DatasetCatalog.get(name))
+    return dicts
+
+
+def build_detection_train_loader(cfg, mapper: Optional[DatasetMapper] = None,
+                                 seed: int = 0):
+    """Infinite iterator of fixed-shape batches, bucketed by orientation."""
+    dataset_dicts = get_detection_dataset_dicts(cfg.DATASETS.TRAIN)
+    if cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS:
+        dataset_dicts = [d for d in dataset_dicts if d.get("annotations")]
+    mapper = mapper or DatasetMapper(cfg, is_train=True)
+    batch_size = cfg.SOLVER.IMS_PER_BATCH
+
+    sampler_name = cfg.DATALOADER.SAMPLER_TRAIN
+    if sampler_name == "TrainingSampler":
+        sampler = training_sampler(len(dataset_dicts), seed=seed)
+    elif sampler_name == "RatioFactorTrainingSampler":
+        sampler = repeat_factor_sampler(
+            repeat_factors_from_ratios(dataset_dicts), seed=seed
+        )
+    elif sampler_name == "RepeatFactorTrainingSampler":
+        # frequency-based; approximated with ratio factors' mechanism using
+        # category frequencies
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for d in dataset_dicts:
+            for a in d.get("annotations", []):
+                counts[a["category_id"]] += 1
+        total = sum(counts.values()) or 1
+        thresh = cfg.DATALOADER.REPEAT_THRESHOLD
+        factors = []
+        for d in dataset_dicts:
+            f = 1.0
+            for a in d.get("annotations", []):
+                freq = counts[a["category_id"]] / total
+                if freq > 0:
+                    f = max(f, np.sqrt(thresh / freq) if freq < thresh else 1.0)
+            factors.append(f)
+        sampler = repeat_factor_sampler(np.array(factors), seed=seed)
+    else:
+        raise ValueError(f"Unknown sampler {sampler_name!r}")
+
+    def gen():
+        g = np.random.default_rng(seed + 1)
+        buckets: Dict[bool, List[Dict]] = {True: [], False: []}
+        for idx in sampler:
+            ex = mapper(dataset_dicts[idx], rng=g)
+            is_landscape = ex["image"].shape[1] >= ex["image"].shape[0]
+            buckets[is_landscape].append(ex)
+            if len(buckets[is_landscape]) == batch_size:
+                yield _stack_batch(buckets[is_landscape])
+                buckets[is_landscape] = []
+
+    return _Prefetcher(gen())
+
+
+def build_detection_test_loader(cfg, dataset_name: str, batch_size: int = 1,
+                                mapper: Optional[DatasetMapper] = None):
+    """Finite iterator over the test set; groups consecutive same-bucket
+    images, padding the final partial batch with repeats + a validity list."""
+    dataset_dicts = get_detection_dataset_dicts(dataset_name)
+    mapper = mapper or DatasetMapper(cfg, is_train=False)
+
+    def gen():
+        g = np.random.default_rng(0)
+        buckets: Dict[bool, List[Dict]] = {True: [], False: []}
+        for d in dataset_dicts:
+            ex = mapper(d, rng=g)
+            is_landscape = ex["image"].shape[1] >= ex["image"].shape[0]
+            buckets[is_landscape].append(ex)
+            if len(buckets[is_landscape]) == batch_size:
+                batch = _stack_batch(buckets[is_landscape])
+                batch["batch_valid"] = [True] * batch_size
+                yield batch
+                buckets[is_landscape] = []
+        for remaining in buckets.values():
+            if remaining:
+                n = len(remaining)
+                while len(remaining) < batch_size:
+                    remaining.append(remaining[-1])
+                batch = _stack_batch(remaining)
+                batch["batch_valid"] = [True] * n + [False] * (batch_size - n)
+                yield batch
+
+    return _Prefetcher(gen())

@@ -1,0 +1,106 @@
+"""Dataset mapper: dataset dict -> fixed-shape tensors.
+
+TPU-first redesign of the reference's `DatasetMapper`
+(`slender_det/data/mappers/base.py:158-252`): same augmentation semantics
+(resize-shortest-edge + random horizontal flip at train, resize at test) but
+the output is a *fixed-shape* example — image zero-padded to one of two
+orientation buckets (landscape/portrait) and gt arrays padded to
+TPU.MAX_GT_PER_IMAGE with a validity mask — so every train/eval step hits an
+already-compiled program (SURVEY.md §7.1 "aspect-ratio-grouped batching vs
+compilation").
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from . import transforms as T
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+def read_image(dataset_dict: Dict, fmt: str = "BGR") -> np.ndarray:
+    """Return HWC uint8 image. Tests may inline an 'image' array in the dict."""
+    if "image" in dataset_dict:
+        img = dataset_dict["image"]
+    else:
+        img = cv2.imread(dataset_dict["file_name"], cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(dataset_dict["file_name"])
+    if fmt == "RGB":
+        img = img[:, :, ::-1]
+    return np.ascontiguousarray(img)
+
+
+class DatasetMapper:
+    def __init__(self, cfg, is_train: bool = True):
+        self.is_train = is_train
+        self.fmt = cfg.INPUT.FORMAT
+        self.min_sizes = (
+            tuple(cfg.INPUT.MIN_SIZE_TRAIN)
+            if is_train
+            else (cfg.INPUT.MIN_SIZE_TEST,)
+        )
+        self.sampling = cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING
+        self.max_size = cfg.INPUT.MAX_SIZE_TRAIN if is_train else cfg.INPUT.MAX_SIZE_TEST
+        self.max_gt = cfg.TPU.MAX_GT_PER_IMAGE
+        # two orientation buckets; shapes chosen to fit shortest-edge resize
+        short = max(self.min_sizes)
+        # round the long side up to stride-128 multiple
+        long = int(np.ceil(self.max_size / 128.0) * 128)
+        short_pad = int(np.ceil(short / 128.0) * 128)
+        self.pad_landscape = (short_pad, long)   # (H, W) for w >= h images
+        self.pad_portrait = (long, short_pad)
+
+    def __call__(self, dataset_dict: Dict, rng: Optional[np.random.Generator] = None
+                 ) -> Dict[str, np.ndarray]:
+        rng = rng or np.random.default_rng(0)
+        image = read_image(dataset_dict, self.fmt)
+        orig_h, orig_w = image.shape[:2]
+
+        annos = [
+            a for a in dataset_dict.get("annotations", [])
+            if not a.get("iscrowd", 0)
+        ]
+        boxes = np.array([a["bbox"] for a in annos], np.float32).reshape(-1, 4)
+        classes = np.array([a["category_id"] for a in annos], np.int64)
+
+        short = T.choose_train_size(rng, self.min_sizes, self.sampling)
+        image, boxes, scale = T.resize_shortest_edge(image, boxes, short, self.max_size)
+
+        if self.is_train and rng.random() < 0.5:
+            image, boxes = T.horizontal_flip(image, boxes)
+
+        rh, rw = image.shape[:2]
+        pad_hw = self.pad_landscape if rw >= rh else self.pad_portrait
+        image = T.pad_to(image, pad_hw)
+
+        # clip boxes to the resized image and drop degenerate ones
+        boxes[:, 0::2] = boxes[:, 0::2].clip(0, rw)
+        boxes[:, 1::2] = boxes[:, 1::2].clip(0, rh)
+        keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+        boxes, classes = boxes[keep], classes[keep]
+
+        n = min(len(boxes), self.max_gt)
+        gt_boxes = np.zeros((self.max_gt, 4), np.float32)
+        gt_classes = np.zeros((self.max_gt,), np.int32)
+        gt_valid = np.zeros((self.max_gt,), bool)
+        gt_boxes[:n] = boxes[:n]
+        gt_classes[:n] = classes[:n]
+        gt_valid[:n] = True
+
+        return {
+            "image": image,
+            "gt_boxes": gt_boxes,
+            "gt_classes": gt_classes,
+            "gt_valid": gt_valid,
+            "scale": np.float32(scale),
+            "orig_size": np.array([orig_h, orig_w], np.float32),
+            "image_size": np.array([rh, rw], np.int32),
+            "image_id": dataset_dict.get("image_id", -1),
+        }

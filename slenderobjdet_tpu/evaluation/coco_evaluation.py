@@ -1,0 +1,144 @@
+"""COCO evaluator with slender (aspect-ratio) metrics.
+
+Counterpart of the reference's `COCOEvaluator`
+(`slender_det/evaluation/coco_evaluation.py:29-280`): gathers predictions,
+converts them to COCO json format, runs the ratio-bucketed COCOeval
+(slender_cocoeval.py) and the AR-by-ratio×area recall matrix (ar_recall.py),
+and dumps machine-readable artifacts (coco_instances_results.json,
+evaluate_metrics.json) for the tools layer.
+
+Fixed-shape adaptation: `process` consumes the model's padded detection
+tensors (boxes/scores/classes/valid) and strips padding by mask — the
+device→host boundary of the eval path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import OrderedDict
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..data.catalog import MetadataCatalog
+from .ar_recall import evaluate_predictions_ar
+from .coco_api import COCO
+from .slender_cocoeval import SlenderCOCOeval
+
+STATS_NAMES = [
+    "AP", "AP50", "AP75", "AP-0-1/5", "AP-1/5-1/3", "AP-1/3-3", "AP-3-5",
+    "AP-5-INF", "AR@1", "AR@10", "AR@100", "AR-0-1/5", "AR-1/5-1/3",
+    "AR-1/3-3", "AR-3-5", "AR-5-INF",
+]
+
+
+class COCOEvaluator:
+    def __init__(self, dataset_name: str, cfg=None, output_dir: Optional[str] = None):
+        self._dataset_name = dataset_name
+        self._metadata = MetadataCatalog.get(dataset_name)
+        self._output_dir = output_dir
+        json_file = self._metadata.get("json_file")
+        self._coco_api = COCO(json_file)
+        id_map = self._metadata.get("thing_dataset_id_to_contiguous_id")
+        if id_map is None:
+            cat_ids = sorted(self._coco_api.getCatIds())
+            id_map = {v: i for i, v in enumerate(cat_ids)}
+        self._contiguous_to_dataset_id = {v: k for k, v in id_map.items()}
+        self._dataset_id_to_contiguous = dict(id_map)
+        self.reset()
+
+    def reset(self):
+        self._predictions: List[Dict] = []
+
+    def process(self, batch: Dict, outputs: Dict):
+        """batch: loader batch (numpy); outputs: model predict() results
+        fetched to host (numpy), fixed-shape with validity masks."""
+        boxes = np.asarray(outputs["boxes"])
+        scores = np.asarray(outputs["scores"])
+        classes = np.asarray(outputs["classes"])
+        valid = np.asarray(outputs["valid"])
+        batch_valid = batch.get("batch_valid", [True] * len(batch["image_id"]))
+
+        for i, image_id in enumerate(batch["image_id"]):
+            if not batch_valid[i]:
+                continue
+            instances = []
+            for j in range(boxes.shape[1]):
+                if not valid[i, j]:
+                    continue
+                x1, y1, x2, y2 = boxes[i, j].tolist()
+                instances.append(
+                    {
+                        "image_id": int(image_id),
+                        "category_id": self._contiguous_to_dataset_id[
+                            int(classes[i, j])
+                        ],
+                        "bbox": [x1, y1, x2 - x1, y2 - y1],
+                        "score": float(scores[i, j]),
+                    }
+                )
+            # keep score-descending order for the AR matrix's greedy matching
+            instances.sort(key=lambda d: -d["score"])
+            self._predictions.append(
+                {"image_id": int(image_id), "instances": instances}
+            )
+
+    def evaluate(self) -> "OrderedDict[str, Dict[str, float]]":
+        results: OrderedDict = OrderedDict()
+        coco_results = [
+            inst for pred in self._predictions for inst in pred["instances"]
+        ]
+
+        if self._output_dir:
+            os.makedirs(self._output_dir, exist_ok=True)
+            with open(
+                os.path.join(self._output_dir, "coco_instances_results.json"), "w"
+            ) as f:
+                json.dump(coco_results, f)
+
+        # ----- ratio-bucketed AP (forked COCOeval semantics)
+        if len(coco_results) == 0:
+            results["bbox"] = {name: float("nan") for name in STATS_NAMES}
+        else:
+            coco_dt = self._coco_api.loadRes(coco_results)
+            coco_eval = SlenderCOCOeval(self._coco_api, coco_dt, "bbox")
+            img_ids = sorted({p["image_id"] for p in self._predictions})
+            coco_eval.params.imgIds = img_ids
+            coco_eval.evaluate()
+            coco_eval.accumulate()
+            stats = coco_eval.summarize()
+            results["bbox"] = {
+                name: float(stats[i] * 100) for i, name in enumerate(STATS_NAMES)
+            }
+
+        # ----- AR recall matrix by ratio x area (diagnosis metrics)
+        ar_stats = evaluate_predictions_ar(
+            self._predictions,
+            self._coco_api,
+            self._dataset_id_to_contiguous,
+            limit=100,
+        )
+        recalls = ar_stats["recalls"]
+        ar_res: Dict[str, float] = {
+            "AR@100": float(ar_stats["ar"] * 100),
+            "mAR@100": float(ar_stats["mar"] * 100),
+        }
+        from .ar_recall import AREAS, ASPECT_RATIOS
+
+        for i, key in enumerate(AREAS):
+            ar_res[f"AR-{key}@100"] = float(recalls[:, -1, 0, i].mean() * 100)
+            ar_res[f"mAR-{key}@100"] = float(recalls[:, :-1, 0, i].mean() * 100)
+        for i, key in enumerate(ASPECT_RATIOS):
+            ar_res[f"AR-{key}@100"] = float(recalls[:, -1, i, 0].mean() * 100)
+            ar_res[f"mAR-{key}@100"] = float(recalls[:, :-1, i, 0].mean() * 100)
+        results["ar"] = ar_res
+
+        if self._output_dir:
+            with open(
+                os.path.join(self._output_dir, "evaluate_metrics.json"), "w"
+            ) as f:
+                json.dump(
+                    {k: v for k, v in results.items()}, f, default=float
+                )
+        return results

@@ -114,7 +114,10 @@ class FCOSHead(nn.Module):
                 if not train:
                     reg = reg * self.strides[lvl]
             else:
-                reg = jnp.exp(reg)
+                # clamp the exponent: unbounded exp overflows fp32 (inf ltrb
+                # areas -> NaN IoU loss) when a location's prediction runs
+                # away early in training; 2^13=8192px is beyond any real box
+                reg = jnp.exp(jnp.clip(reg, -12.0, 9.0))
 
             logits_all.append(logits.reshape(b, h * w, self.num_classes))
             reg_all.append(reg.reshape(b, h * w, 4))
@@ -280,11 +283,17 @@ class FCOS:
             sigmoid_focal_loss(logits, onehot, self.focal_alpha, self.focal_gamma)
         ) / num_pos
 
-        # centerness-weighted IoU regression loss on positives
-        ctr_targets = compute_centerness_targets(reg_targets)
+        # centerness-weighted IoU regression loss on positives.
+        # Non-positive lanes carry garbage reg targets (possibly negative
+        # ltrb -> log of a negative inside the iou loss); substitute a safe
+        # constant BEFORE the loss so no NaN can leak through the where
+        # (the classic JAX masked-loss rule: where alone doesn't stop NaN
+        # gradients from the untaken branch).
+        safe_targets = jnp.where(pos[..., None], reg_targets, 1.0)
+        ctr_targets = compute_centerness_targets(safe_targets)
         ctr_targets = jnp.where(pos, ctr_targets, 0.0)
         sum_ctr = jnp.maximum(jnp.sum(ctr_targets), 1e-6)
-        reg_losses = iou_loss_ltrb(reg, reg_targets, self.iou_loss_type)
+        reg_losses = iou_loss_ltrb(reg, safe_targets, self.iou_loss_type)
         reg_loss = jnp.sum(jnp.where(pos, reg_losses * ctr_targets, 0.0)) / sum_ctr
 
         ctr_loss = jnp.sum(
