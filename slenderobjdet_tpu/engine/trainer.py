@@ -1,0 +1,166 @@
+"""Config-driven trainer (counterpart of the reference `BaseTrainer`,
+`slender_det/engine/defaults.py:74-178` over d2 DefaultTrainer/SimpleTrainer).
+
+One object wires together: model build, optimizer, data loaders, the jitted
+data-parallel train step, periodic logging (period 20, like the reference's
+PeriodicWriter), periodic checkpointing, and eval. The hot loop keeps device
+work async — metrics are fetched only on logging iterations so steps pipeline
+behind the host data loader.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..checkpoint.checkpointer import DetectionCheckpointer
+from ..data import build_detection_test_loader, build_detection_train_loader
+from ..data.catalog import MetadataCatalog
+from ..evaluation import COCOEvaluator, inference_on_dataset
+from ..models import build_model
+from ..parallel import mesh_from_cfg, replicate, shard_batch
+from ..solver import build_optimizer
+from .events import CommonMetricPrinter, EventStorage, JSONWriter
+from .train_loop import TrainState, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+def default_setup(cfg, args=None):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s: %(message)s",
+    )
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    with open(os.path.join(cfg.OUTPUT_DIR, "config.yaml"), "w") as f:
+        f.write(cfg.dump())
+    logger.info("running with %d devices: %s", len(jax.devices()), jax.devices())
+    if cfg.SEED >= 0:
+        np.random.seed(cfg.SEED)
+
+
+class BaseTrainer:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.detector = build_model(cfg)
+        self.max_iter = cfg.SOLVER.MAX_ITER
+        self.start_iter = 0
+
+        seed = cfg.SEED if cfg.SEED >= 0 else 0
+        rng = jax.random.PRNGKey(seed)
+        variables = self.detector.init_variables(rng)
+        self.tx = build_optimizer(cfg, variables["params"])
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            buffers=variables.get("buffers", {}),
+            opt_state=self.tx.init(variables["params"]),
+        )
+
+        n_dev = len(jax.devices())
+        if n_dev > 1:
+            import math
+
+            data = cfg.TPU.MESH_DATA
+            if data == -1:
+                # largest device count that divides the global batch
+                data = math.gcd(cfg.SOLVER.IMS_PER_BATCH, n_dev)
+            from ..parallel import make_mesh
+
+            self.mesh = make_mesh(
+                data=data, model=cfg.TPU.MESH_MODEL,
+                devices=jax.devices()[: data * cfg.TPU.MESH_MODEL],
+            )
+        else:
+            self.mesh = None
+        if self.mesh is not None:
+            self.state = replicate(self.state, self.mesh)
+        self.train_step = make_train_step(
+            self.detector, self.tx, mesh=self.mesh, donate=cfg.TPU.DONATE
+        )
+
+        self.checkpointer = DetectionCheckpointer(cfg.OUTPUT_DIR)
+        self.storage = EventStorage()
+        self.writers = [
+            CommonMetricPrinter(self.max_iter),
+            JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json")),
+        ]
+
+    def resume_or_load(self, resume: bool = False):
+        self.state = self.checkpointer.resume_or_load(
+            self.cfg.MODEL.WEIGHTS, self.state, resume
+        )
+        self.start_iter = int(jax.device_get(self.state.step))
+
+    def train(self):
+        cfg = self.cfg
+        loader = build_detection_train_loader(cfg, seed=max(cfg.SEED, 0))
+        it = iter(loader)
+        self.storage.iter = self.start_iter
+        data_t0 = time.perf_counter()
+
+        for i in range(self.start_iter, self.max_iter):
+            host_batch = next(it)
+            batch = {
+                k: v for k, v in host_batch.items()
+                if k not in ("image_id", "batch_valid")
+            }
+            if self.mesh is not None:
+                batch = shard_batch(batch, self.mesh)
+            data_time = time.perf_counter() - data_t0
+
+            self.state, metrics = self.train_step(self.state, batch)
+
+            if (i + 1) % 20 == 0 or i == self.start_iter:
+                fetched = {k: float(v) for k, v in metrics.items()}
+                self.storage.put_scalars(data_time=data_time, **fetched)
+                for w in self.writers:
+                    w.write(self.storage)
+            self.storage.step()
+
+            if (i + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or (i + 1) == self.max_iter:
+                self.checkpointer.save(f"model_{i + 1:07d}", self.state)
+            if cfg.TEST.EVAL_PERIOD > 0 and (i + 1) % cfg.TEST.EVAL_PERIOD == 0:
+                self.test()
+            data_t0 = time.perf_counter()
+
+        return self.state
+
+    # ------------------------------------------------------------------ eval
+    def test(self, state: Optional[TrainState] = None) -> Dict:
+        cfg = self.cfg
+        state = state or self.state
+        variables = {"params": state.params}
+        buffers = state.buffers
+        if buffers:
+            variables["buffers"] = buffers
+        predict = jax.jit(self.detector.predict)
+
+        def predict_fn(batch):
+            dev = {
+                "image": jnp.asarray(batch["image"]),
+                "scale": jnp.asarray(batch["scale"]),
+                "orig_size": jnp.asarray(batch["orig_size"]),
+            }
+            return predict(variables, dev)
+
+        all_results = {}
+        for dataset_name in cfg.DATASETS.TEST:
+            evaluator_type = MetadataCatalog.get(dataset_name).get(
+                "evaluator_type", "coco"
+            )
+            assert evaluator_type == "coco", evaluator_type
+            loader = build_detection_test_loader(cfg, dataset_name, batch_size=8)
+            evaluator = COCOEvaluator(
+                dataset_name, cfg, output_dir=cfg.OUTPUT_DIR
+            )
+            results = inference_on_dataset(predict_fn, loader, evaluator)
+            logger.info("eval %s: %s", dataset_name, results.get("bbox"))
+            all_results[dataset_name] = results
+        return all_results

@@ -1,0 +1,120 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from slenderobjdet_tpu.checkpoint import DetectionCheckpointer, import_d2_weights
+from slenderobjdet_tpu.engine.train_loop import TrainState
+from slenderobjdet_tpu.solver import build_optimizer
+
+
+def test_save_load_roundtrip(tmp_path, tiny_cfg, tiny_fcos):
+    det, variables = tiny_fcos
+    tx = build_optimizer(tiny_cfg, variables["params"])
+    state = TrainState(
+        step=jnp.asarray(7, jnp.int32),
+        params=variables["params"],
+        buffers=variables.get("buffers", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    ckpt = DetectionCheckpointer(str(tmp_path))
+    ckpt.save("model_0000007", state)
+    assert ckpt.has_checkpoint()
+
+    # perturb then restore
+    zeroed = state.replace(
+        step=jnp.asarray(0, jnp.int32),
+        params=jax.tree_util.tree_map(jnp.zeros_like, state.params),
+    )
+    restored = ckpt.load(ckpt.get_checkpoint_file(), zeroed)
+    assert int(np.asarray(restored.step if hasattr(restored, "step") else restored["step"])) == 7
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    p1 = jax.tree_util.tree_leaves(
+        restored.params if hasattr(restored, "params") else restored["params"]
+    )[0]
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
+
+
+def make_fake_d2_resnet18_fpn_statedict(params, buffers):
+    """Build a d2-style state dict covering our R18-FPN tree with
+    recognizable values."""
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def conv(name, flax_kernel_shape, bias=False):
+        h, w, i, o = flax_kernel_shape
+        sd[name + ".weight"] = rng.randn(o, i, h, w).astype(np.float32)
+        if bias:
+            sd[name + ".bias"] = rng.randn(o).astype(np.float32)
+
+    def norm(name, c):
+        sd[name + ".norm.weight"] = rng.rand(c).astype(np.float32) + 0.5
+        sd[name + ".norm.bias"] = rng.randn(c).astype(np.float32)
+        sd[name + ".norm.running_mean"] = rng.randn(c).astype(np.float32)
+        sd[name + ".norm.running_var"] = rng.rand(c).astype(np.float32) + 0.5
+
+    bu = params["backbone"]["bottom_up"]
+    conv("backbone.bottom_up.stem.conv1", bu["stem_conv1"]["kernel"].shape)
+    norm("backbone.bottom_up.stem.conv1", bu["stem_conv1"]["kernel"].shape[-1])
+    for block_name, block in bu.items():
+        if not block_name.startswith("res"):
+            continue
+        stage, idx = block_name.split("_")
+        d2block = f"backbone.bottom_up.{stage}.{idx}"
+        for conv_name in block:
+            shape = block[conv_name]["kernel"].shape
+            conv(f"{d2block}.{conv_name}", shape)
+            norm(f"{d2block}.{conv_name}", shape[-1])
+    # fpn convs: d2 numbers by stage (res3,4,5 -> 3,4,5)
+    for i, stage in enumerate([3, 4, 5]):
+        conv(f"backbone.fpn_lateral{stage}",
+             params["backbone"][f"fpn_lateral{i}"]["kernel"].shape, bias=True)
+        conv(f"backbone.fpn_output{stage}",
+             params["backbone"][f"fpn_output{i}"]["kernel"].shape, bias=True)
+    conv("backbone.top_block.p6", params["backbone"]["top_p6"]["kernel"].shape,
+         bias=True)
+    conv("backbone.top_block.p7", params["backbone"]["top_p7"]["kernel"].shape,
+         bias=True)
+    return sd
+
+
+def test_d2_weight_import(tiny_fcos):
+    det, variables = tiny_fcos
+    params = jax.device_get(variables["params"])
+    buffers = jax.device_get(variables.get("buffers", {}))
+    sd = make_fake_d2_resnet18_fpn_statedict(params, buffers)
+
+    new_params, new_buffers = import_d2_weights(sd, params, buffers)
+
+    # conv kernels transposed OIHW -> HWIO
+    got = new_params["backbone"]["bottom_up"]["res2_0"]["conv1"]["kernel"]
+    want = sd["backbone.bottom_up.res2.0.conv1.weight"].transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(np.asarray(got), want)
+
+    # fpn lateral with stage->index renumbering
+    got = new_params["backbone"]["fpn_lateral0"]["kernel"]
+    want = sd["backbone.fpn_lateral3.weight"].transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(np.asarray(got), want)
+
+    # frozen bn folded: scale = w/sqrt(var+eps), bias = b - mean*scale
+    s = sd["backbone.bottom_up.res2.0.conv1.norm.weight"]
+    v = sd["backbone.bottom_up.res2.0.conv1.norm.running_var"]
+    m = sd["backbone.bottom_up.res2.0.conv1.norm.running_mean"]
+    b = sd["backbone.bottom_up.res2.0.conv1.norm.bias"]
+    scale = s / np.sqrt(v + 1e-5)
+    bias = b - m * scale
+    got_s = new_buffers["backbone"]["bottom_up"]["res2_0"]["FrozenBatchNorm_0"]["scale"]
+    got_b = new_buffers["backbone"]["bottom_up"]["res2_0"]["FrozenBatchNorm_0"]["bias"]
+    np.testing.assert_allclose(np.asarray(got_s), scale, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_b), bias, rtol=1e-5)
+
+    # shortcut norm (basic block -> highest index 2)
+    got_s = new_buffers["backbone"]["bottom_up"]["res3_0"]["FrozenBatchNorm_2"]["scale"]
+    s = sd["backbone.bottom_up.res3.0.shortcut.norm.weight"]
+    v = sd["backbone.bottom_up.res3.0.shortcut.norm.running_var"]
+    np.testing.assert_allclose(np.asarray(got_s), s / np.sqrt(v + 1e-5), rtol=1e-6)
+
+    # head params untouched
+    h0 = jax.tree_util.tree_leaves(params["head"])[0]
+    h1 = jax.tree_util.tree_leaves(new_params["head"])[0]
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1))
