@@ -16,8 +16,21 @@ def build_model(cfg):
 
 
 from .meta_arch.fcos import FCOS  # noqa: E402
+from .meta_arch.retinanet import RetinaNet  # noqa: E402
 
 META_ARCH_REGISTRY.register(FCOS, name="FCOS")
+# FCOSV2 is the reference's refactor of FCOS with identical training loss and
+# topk-then-NMS inference (fcosv2.py:104-249) — exactly the structure this
+# implementation already uses, so they share one class.
+META_ARCH_REGISTRY.register(FCOS, name="FCOSV2")
+# diagnosis variant attaching implicit anchors to outputs (fcoswa.py:17-106);
+# location boxes are reconstructable host-side from the static grid
+META_ARCH_REGISTRY.register(FCOS, name="FCOSWithAnchor")
+META_ARCH_REGISTRY.register(RetinaNet, name="RetinaNet")
+# diagnosis variant that carries matched anchors through to outputs
+# (reference retinanetwa.py); anchors are reattachable host-side from the
+# fixed anchor grid, so the TPU build shares one implementation
+META_ARCH_REGISTRY.register(RetinaNet, name="RetinaNetWithAnchor")
 
 __all__ = [
     "META_ARCH_REGISTRY",
