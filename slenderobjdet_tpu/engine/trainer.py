@@ -105,14 +105,21 @@ class BaseTrainer:
         self.storage.iter = self.start_iter
         data_t0 = time.perf_counter()
 
+        rng_base = jax.random.PRNGKey(max(cfg.SEED, 0) + 7919)
         for i in range(self.start_iter, self.max_iter):
             host_batch = next(it)
             batch = {
                 k: v for k, v in host_batch.items()
                 if k not in ("image_id", "batch_valid")
             }
+            step_rng = jax.random.fold_in(rng_base, i)
             if self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)
+                from ..parallel import replicated
+
+                step_rng = jax.device_put(step_rng, replicated(self.mesh))
+            # per-step key for in-graph sampling (RPN/ROI subsampling)
+            batch["rng"] = step_rng
             data_time = time.perf_counter() - data_t0
 
             self.state, metrics = self.train_step(self.state, batch)

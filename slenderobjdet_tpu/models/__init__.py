@@ -16,6 +16,7 @@ def build_model(cfg):
 
 
 from .meta_arch.fcos import FCOS  # noqa: E402
+from .meta_arch.rcnn import ProposalVisibleRCNN  # noqa: E402
 from .meta_arch.retinanet import RetinaNet  # noqa: E402
 
 META_ARCH_REGISTRY.register(FCOS, name="FCOS")
@@ -31,6 +32,11 @@ META_ARCH_REGISTRY.register(RetinaNet, name="RetinaNet")
 # (reference retinanetwa.py); anchors are reattachable host-side from the
 # fixed anchor grid, so the TPU build shares one implementation
 META_ARCH_REGISTRY.register(RetinaNet, name="RetinaNetWithAnchor")
+META_ARCH_REGISTRY.register(ProposalVisibleRCNN, name="ProposalVisibleRCNN")
+META_ARCH_REGISTRY.register(ProposalVisibleRCNN, name="GeneralizedRCNN")
+# WithAnchor variant keeps (anchor, proposal) pairs; proposals are already
+# returned by predict(), anchors reconstructable from the static grid
+META_ARCH_REGISTRY.register(ProposalVisibleRCNN, name="ProposalVisibleRCNNWithAnchor")
 
 __all__ = [
     "META_ARCH_REGISTRY",

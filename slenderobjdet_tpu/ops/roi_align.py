@@ -1,0 +1,123 @@
+"""RoIAlign (V2/aligned semantics) as an XLA gather composition.
+
+Replaces detectron2's CUDA ROIAlign used by the reference's ROI heads
+(`slender_det/modeling/roi_heads/roi_heads.py:48-53`, POOLER_TYPE
+"ROIAlignV2"). Semantics follow the aligned=True variant: sample coordinates
+are computed with the half-pixel offset (coord - 0.5), each output bin
+averages `sampling_ratio`^2 bilinear samples (sampling_ratio=2 default per
+d2 when cfg POOLER_SAMPLING_RATIO=0 means ceil(roi_size/out_size); we use a
+static ratio for fixed shapes).
+
+The gather is expressed as one-hot-free advanced indexing, which XLA lowers
+to dynamic-gather; a Pallas kernel with fused bilinear+pool is the planned
+upgrade for the hot path (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bilinear_gather(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
+    """feat (H, W, C); ys/xs (...,) -> (..., C) bilinear samples.
+    Out-of-range samples clamp to the border (matching RoIAlign's behavior of
+    zero gradient outside, adequate for clipped rois)."""
+    h, w, _ = feat.shape
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    ly = ys - y0
+    lx = xs - x0
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+
+    v00 = feat[y0, x0]
+    v01 = feat[y0, x1]
+    v10 = feat[y1, x0]
+    v11 = feat[y1, x1]
+    wy = ly[..., None]
+    wx = lx[..., None]
+    return (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+
+
+def roi_align(
+    feat: jnp.ndarray,          # (H, W, C) single level, single image
+    rois: jnp.ndarray,          # (N, 4) XYXY in IMAGE coordinates
+    spatial_scale: float,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """-> (N, output_size, output_size, C)."""
+    rois = rois * spatial_scale
+    # aligned=True: half-pixel correction
+    x1 = rois[:, 0] - 0.5
+    y1 = rois[:, 1] - 0.5
+    x2 = rois[:, 2] - 0.5
+    y2 = rois[:, 3] - 0.5
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+
+    P, S = output_size, sampling_ratio
+    bin_h = roi_h / P
+    bin_w = roi_w / P
+
+    # sample grid: for bin p and sample s: y1 + (p + (s+0.5)/S) * bin
+    ps = (jnp.arange(P)[:, None] + (jnp.arange(S)[None, :] + 0.5) / S)  # (P,S)
+    ys = y1[:, None, None] + ps[None] * bin_h[:, None, None]   # (N,P,S)
+    xs = x1[:, None, None] + ps[None] * bin_w[:, None, None]
+
+    # full grid (N, P, S, P, S)
+    yy = ys[:, :, :, None, None]
+    xx = xs[:, None, None, :, :]
+    yy = jnp.broadcast_to(yy, (rois.shape[0], P, S, P, S))
+    xx = jnp.broadcast_to(xx, (rois.shape[0], P, S, P, S))
+
+    samples = _bilinear_gather(feat, yy, xx)       # (N,P,S,P,S,C)
+    return samples.mean(axis=(2, 4))               # (N,P,P,C)
+
+
+def assign_fpn_levels(
+    rois: jnp.ndarray, min_level: int, max_level: int,
+    canonical_size: float = 224.0, canonical_level: int = 4,
+) -> jnp.ndarray:
+    """d2 assign_boxes_to_levels: level = floor(k0 + log2(sqrt(area)/224))."""
+    areas = jnp.clip((rois[:, 2] - rois[:, 0]) * (rois[:, 3] - rois[:, 1]), 1e-6)
+    lvl = jnp.floor(canonical_level + jnp.log2(jnp.sqrt(areas) / canonical_size + 1e-8))
+    return jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
+
+
+def multilevel_roi_align(
+    feats: Sequence[jnp.ndarray],     # list of (H_l, W_l, C), one image
+    strides: Sequence[int],
+    rois: jnp.ndarray,                # (N, 4) image coords
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    canonical_level: int = 4,
+) -> jnp.ndarray:
+    """Pool every roi from its assigned pyramid level. Fixed-shape strategy:
+    pool from ALL levels and select per-roi — trades FLOPs for static shape
+    (the per-level partitioning of the CUDA pooler is data-dependent)."""
+    min_level = int(np.log2(strides[0]))
+    max_level = int(np.log2(strides[-1]))
+    levels = assign_fpn_levels(rois, min_level, max_level,
+                               canonical_level=canonical_level)
+
+    out = None
+    for i, (feat, stride) in enumerate(zip(feats, strides)):
+        pooled = roi_align(feat, rois, 1.0 / stride, output_size, sampling_ratio)
+        sel = (levels == (min_level + i))[:, None, None, None]
+        out = jnp.where(sel, pooled, 0.0) if out is None else out + jnp.where(
+            sel, pooled, 0.0
+        )
+    return out

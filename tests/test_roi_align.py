@@ -1,0 +1,78 @@
+import numpy as np
+import jax.numpy as jnp
+
+from slenderobjdet_tpu.ops.roi_align import (
+    assign_fpn_levels,
+    multilevel_roi_align,
+    roi_align,
+)
+
+
+def oracle_roi_align(feat, roi, scale, P, S):
+    """Literal loop implementation of aligned RoIAlign for one roi."""
+    H, W, C = feat.shape
+    x1, y1, x2, y2 = [v * scale - 0.5 for v in roi]
+    bh, bw = (y2 - y1) / P, (x2 - x1) / P
+    out = np.zeros((P, P, C), np.float64)
+
+    def bilinear(y, x):
+        y0, x0 = int(np.floor(y)), int(np.floor(x))
+        ly, lx = y - y0, x - x0
+        y0c, x0c = np.clip(y0, 0, H - 1), np.clip(x0, 0, W - 1)
+        y1c, x1c = np.clip(y0 + 1, 0, H - 1), np.clip(x0 + 1, 0, W - 1)
+        return (
+            feat[y0c, x0c] * (1 - ly) * (1 - lx)
+            + feat[y0c, x1c] * (1 - ly) * lx
+            + feat[y1c, x0c] * ly * (1 - lx)
+            + feat[y1c, x1c] * ly * lx
+        )
+
+    for py in range(P):
+        for px in range(P):
+            acc = np.zeros(C, np.float64)
+            for sy in range(S):
+                for sx in range(S):
+                    y = y1 + (py + (sy + 0.5) / S) * bh
+                    x = x1 + (px + (sx + 0.5) / S) * bw
+                    acc += bilinear(y, x)
+            out[py, px] = acc / (S * S)
+    return out
+
+
+def test_roi_align_matches_oracle(rng):
+    feat = rng.rand(16, 20, 3).astype(np.float32)
+    rois = np.array(
+        [[8.0, 4.0, 56.0, 40.0], [0.0, 0.0, 80.0, 64.0], [10.0, 10.0, 30.0, 22.0]],
+        np.float32,
+    )
+    scale, P, S = 0.25, 7, 2
+    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), scale, P, S))
+    for i, roi in enumerate(rois):
+        want = oracle_roi_align(feat, roi, scale, P, S)
+        np.testing.assert_allclose(got[i], want, atol=1e-4)
+
+
+def test_level_assignment():
+    rois = np.array(
+        [
+            [0, 0, 56, 56],      # sqrt(area)=56 -> lvl 2 (4+log2(56/224)=2)
+            [0, 0, 224, 224],    # -> lvl 4
+            [0, 0, 448, 448],    # -> lvl 5
+            [0, 0, 1000, 1000],  # clamps to 5
+        ],
+        np.float32,
+    )
+    lv = np.asarray(assign_fpn_levels(jnp.asarray(rois), 2, 5))
+    np.testing.assert_array_equal(lv, [2, 4, 5, 5])
+
+
+def test_multilevel_selects_right_level(rng):
+    # constant-valued features per level let us see which level was pooled
+    feats = [jnp.full((64 // s, 64 // s, 2), float(i + 1))
+             for i, s in enumerate([4, 8, 16, 32])]
+    rois = jnp.asarray([[0, 0, 56, 56], [0, 0, 14, 14]], jnp.float32)
+    out = np.asarray(
+        multilevel_roi_align(feats, [4, 8, 16, 32], rois, output_size=2)
+    )
+    assert np.allclose(out[0], 1.0)  # lvl2 -> first feature
+    assert np.allclose(out[1], 1.0)  # tiny box clamps to min level
