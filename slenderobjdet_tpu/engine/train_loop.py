@@ -69,11 +69,13 @@ def make_train_step(
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
+    # Shardings are carried by the inputs themselves (state replicated via
+    # parallel.replicate, batch leaves via parallel.shard_batch, per-step rng
+    # replicated) — jit infers them, which permits mixed-layout batches
+    # (sharded tensors + replicated rng key).
     repl = replicated(mesh)
-    data = batch_sharding(mesh)
     return jax.jit(
         train_step,
-        in_shardings=(repl, data),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
     )
