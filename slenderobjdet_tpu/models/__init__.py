@@ -17,6 +17,7 @@ def build_model(cfg):
 
 from .meta_arch.fcos import FCOS  # noqa: E402
 from .meta_arch.rcnn import ProposalVisibleRCNN  # noqa: E402
+from .meta_arch.reppoints import RepPointsDetector  # noqa: E402
 from .meta_arch.retinanet import RetinaNet  # noqa: E402
 
 META_ARCH_REGISTRY.register(FCOS, name="FCOS")
@@ -37,6 +38,7 @@ META_ARCH_REGISTRY.register(ProposalVisibleRCNN, name="GeneralizedRCNN")
 # WithAnchor variant keeps (anchor, proposal) pairs; proposals are already
 # returned by predict(), anchors reconstructable from the static grid
 META_ARCH_REGISTRY.register(ProposalVisibleRCNN, name="ProposalVisibleRCNNWithAnchor")
+META_ARCH_REGISTRY.register(RepPointsDetector, name="RepPointsDetector")
 
 __all__ = [
     "META_ARCH_REGISTRY",
