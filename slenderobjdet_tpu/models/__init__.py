@@ -15,6 +15,7 @@ def build_model(cfg):
     return META_ARCH_REGISTRY.get(cfg.MODEL.META_ARCHITECTURE)(cfg)
 
 
+from .meta_arch.ablation import AblationMetaArch  # noqa: E402
 from .meta_arch.fcos import FCOS  # noqa: E402
 from .meta_arch.rcnn import ProposalVisibleRCNN  # noqa: E402
 from .meta_arch.reppoints import RepPointsDetector  # noqa: E402
@@ -39,6 +40,9 @@ META_ARCH_REGISTRY.register(ProposalVisibleRCNN, name="GeneralizedRCNN")
 # returned by predict(), anchors reconstructable from the static grid
 META_ARCH_REGISTRY.register(ProposalVisibleRCNN, name="ProposalVisibleRCNNWithAnchor")
 META_ARCH_REGISTRY.register(RepPointsDetector, name="RepPointsDetector")
+META_ARCH_REGISTRY.register(AblationMetaArch, name="AblationMetaArch")
+for _head in ("LRTBHead", "LRTBTopkHead", "PointSetHead", "AnchorHead"):
+    META_HEADS_REGISTRY.register(AblationMetaArch, name=_head)
 
 __all__ = [
     "META_ARCH_REGISTRY",
