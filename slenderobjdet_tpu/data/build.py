@@ -71,8 +71,9 @@ def repeat_factor_sampler(
 # ------------------------------------------------------------------- batching
 def _stack_batch(examples: List[Dict]) -> Dict:
     out = {}
-    for key in ("image", "gt_boxes", "gt_classes", "gt_valid", "scale",
-                "orig_size", "image_size"):
+    for key in examples[0]:
+        if key == "image_id":
+            continue
         out[key] = np.stack([e[key] for e in examples])
     out["image_id"] = [e["image_id"] for e in examples]
     return out

@@ -69,12 +69,20 @@ class DatasetMapper:
         ]
         boxes = np.array([a["bbox"] for a in annos], np.float32).reshape(-1, 4)
         classes = np.array([a["category_id"] for a in annos], np.int64)
+        rboxes = None
+        if annos and "rbox" in annos[0]:
+            rboxes = np.array([a["rbox"] for a in annos], np.float32).reshape(-1, 5)
 
         short = T.choose_train_size(rng, self.min_sizes, self.sampling)
         image, boxes, scale = T.resize_shortest_edge(image, boxes, short, self.max_size)
+        if rboxes is not None:
+            rboxes[:, :4] *= scale  # uniform scale; angle unchanged
 
         if self.is_train and rng.random() < 0.5:
             image, boxes = T.horizontal_flip(image, boxes)
+            if rboxes is not None:
+                rboxes[:, 0] = image.shape[1] - rboxes[:, 0]
+                rboxes[:, 4] = -rboxes[:, 4]
 
         rh, rw = image.shape[:2]
         pad_hw = self.pad_landscape if rw >= rh else self.pad_portrait
@@ -85,6 +93,8 @@ class DatasetMapper:
         boxes[:, 1::2] = boxes[:, 1::2].clip(0, rh)
         keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
         boxes, classes = boxes[keep], classes[keep]
+        if rboxes is not None:
+            rboxes = rboxes[keep]
 
         n = min(len(boxes), self.max_gt)
         gt_boxes = np.zeros((self.max_gt, 4), np.float32)
@@ -93,6 +103,21 @@ class DatasetMapper:
         gt_boxes[:n] = boxes[:n]
         gt_classes[:n] = classes[:n]
         gt_valid[:n] = True
+
+        if rboxes is not None:
+            gt_rboxes = np.zeros((self.max_gt, 5), np.float32)
+            gt_rboxes[:n] = rboxes[:n]
+            return {
+                "image": image,
+                "gt_boxes": gt_boxes,
+                "gt_rboxes": gt_rboxes,
+                "gt_classes": gt_classes,
+                "gt_valid": gt_valid,
+                "scale": np.float32(scale),
+                "orig_size": np.array([orig_h, orig_w], np.float32),
+                "image_size": np.array([rh, rw], np.int32),
+                "image_id": dataset_dict.get("image_id", -1),
+            }
 
         return {
             "image": image,

@@ -162,11 +162,17 @@ class BaseTrainer:
             evaluator_type = MetadataCatalog.get(dataset_name).get(
                 "evaluator_type", "coco"
             )
-            assert evaluator_type == "coco", evaluator_type
             loader = build_detection_test_loader(cfg, dataset_name, batch_size=8)
-            evaluator = COCOEvaluator(
-                dataset_name, cfg, output_dir=cfg.OUTPUT_DIR
-            )
+            if evaluator_type == "rcoco":
+                from ..evaluation.rotated_evaluation import RotatedCOCOEvaluator
+
+                evaluator = RotatedCOCOEvaluator(
+                    dataset_name, cfg, output_dir=cfg.OUTPUT_DIR
+                )
+            else:
+                evaluator = COCOEvaluator(
+                    dataset_name, cfg, output_dir=cfg.OUTPUT_DIR
+                )
             results = inference_on_dataset(predict_fn, loader, evaluator)
             logger.info("eval %s: %s", dataset_name, results.get("bbox"))
             all_results[dataset_name] = results

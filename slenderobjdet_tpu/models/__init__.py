@@ -41,6 +41,10 @@ META_ARCH_REGISTRY.register(ProposalVisibleRCNN, name="GeneralizedRCNN")
 META_ARCH_REGISTRY.register(ProposalVisibleRCNN, name="ProposalVisibleRCNNWithAnchor")
 META_ARCH_REGISTRY.register(RepPointsDetector, name="RepPointsDetector")
 META_ARCH_REGISTRY.register(AblationMetaArch, name="AblationMetaArch")
+
+from .meta_arch.retina_rotated import RotatedRetinaNet  # noqa: E402
+
+META_ARCH_REGISTRY.register(RotatedRetinaNet, name="RotatedRetinaNet")
 for _head in ("LRTBHead", "LRTBTopkHead", "PointSetHead", "AnchorHead"):
     META_HEADS_REGISTRY.register(AblationMetaArch, name=_head)
 
