@@ -45,6 +45,16 @@ META_ARCH_REGISTRY.register(AblationMetaArch, name="AblationMetaArch")
 from .meta_arch.retina_rotated import RotatedRetinaNet  # noqa: E402
 
 META_ARCH_REGISTRY.register(RotatedRetinaNet, name="RotatedRetinaNet")
+
+from .meta_arch.corner_net import CornerNet  # noqa: E402
+
+META_ARCH_REGISTRY.register(CornerNet, name="CornerNet")
+
+from .backbones.hourglass import build_hourglass_backbone  # noqa: E402
+
+BACKBONE_REGISTRY.register(build_hourglass_backbone, name="build_hourglass_backbone")
+
+from .backbones import vt_fpn  # noqa: E402,F401  (registers PVT/VT-FPN builders)
 for _head in ("LRTBHead", "LRTBTopkHead", "PointSetHead", "AnchorHead"):
     META_HEADS_REGISTRY.register(AblationMetaArch, name=_head)
 

@@ -25,6 +25,10 @@ from .resnet import RESNET_STRIDES, resnet_from_cfg, resnet_output_channels
 
 BACKBONE_REGISTRY = Registry("BACKBONE")
 
+# strides of known bottom-up feature names (resnet + pvt)
+FEATURE_STRIDES = dict(RESNET_STRIDES)
+FEATURE_STRIDES.update({"pvt1": 4, "pvt2": 8, "pvt3": 16, "pvt4": 32})
+
 
 def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
     """(B,H,W,C) -> (B,2H,2W,C), exact nearest-neighbor 2x."""
@@ -70,7 +74,7 @@ class FPN(nn.Module):
             merged[idx] = m
 
         outputs: Dict[str, jnp.ndarray] = {}
-        start_stage = int(RESNET_STRIDES[self.in_features[0]]).bit_length() - 1
+        start_stage = int(FEATURE_STRIDES[self.in_features[0]]).bit_length() - 1
         names = []
         for idx, m in enumerate(merged):
             out = nn.Conv(self.out_channels, (3, 3), padding=1,
@@ -115,7 +119,7 @@ class BackboneSpec:
 
 
 def _fpn_feature_names(in_features: Sequence[str], top_block: str) -> List[str]:
-    start = int(RESNET_STRIDES[in_features[0]]).bit_length() - 1
+    start = int(FEATURE_STRIDES[in_features[0]]).bit_length() - 1
     names = [f"p{start + i}" for i in range(len(in_features))]
     last = int(names[-1][1:])
     if top_block == "maxpool":

@@ -1,0 +1,49 @@
+"""Random tensor through every registered backbone — the reference's own
+test_backbone.py pattern (SURVEY.md §4), extended to all builders."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from slenderobjdet_tpu.config import get_cfg
+from slenderobjdet_tpu.models import BACKBONE_REGISTRY, build_backbone
+
+
+def _cfg(name):
+    cfg = get_cfg()
+    cfg.MODEL.BACKBONE.NAME = name
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.IN_FEATURES = ["res3", "res4", "res5"]
+    cfg.MODEL.FPN.OUT_CHANNELS = 64
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    if "pvt" in name:
+        cfg.MODEL.PVT.DEPTH = "tiny"
+        cfg.MODEL.FPN.IN_FEATURES = ["pvt2", "pvt3", "pvt4"]
+    if "hourglass" in name:
+        cfg.MODEL.HOURGLASS.STACKS = 1
+        cfg.MODEL.HOURGLASS.DEPTH_BLOCK = 2
+        cfg.MODEL.HOURGLASS.CHANNELS_BLOCK = [32, 48, 64]
+        cfg.MODEL.HOURGLASS.NUM_CONV_BLOCK = [1, 1, 1]
+        cfg.MODEL.HOURGLASS.STEM_OUT_CHANNELS = 16
+        cfg.MODEL.HOURGLASS.OUT_FEATURES = ["hourglass2"]
+    if name == "build_resnet_fpn_backbone":
+        cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    return cfg
+
+
+@pytest.mark.parametrize("name", sorted(BACKBONE_REGISTRY.keys()))
+def test_backbone_shapes(name):
+    cfg = _cfg(name)
+    spec = build_backbone(cfg, dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 128, 128, 3), jnp.float32)
+    variables = jax.jit(spec.module.init)(jax.random.PRNGKey(0), x)
+    feats = spec.module.apply(variables, x)
+    for fname, channels in spec.channels.items():
+        assert fname in feats, (name, fname, list(feats))
+        f = feats[fname]
+        stride = spec.strides[fname]
+        assert f.shape == (1, 128 // stride, 128 // stride, channels), (
+            name, fname, f.shape, stride, channels)
+        assert np.isfinite(np.asarray(f)).all()

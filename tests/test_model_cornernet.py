@@ -1,0 +1,61 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from slenderobjdet_tpu.models import build_model
+
+from test_model_fcos import make_batch
+
+
+@pytest.fixture(scope="module")
+def tiny_cornernet():
+    from slenderobjdet_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "CornerNet"
+    cfg.MODEL.HOURGLASS.STACKS = 1
+    cfg.MODEL.HOURGLASS.DEPTH_BLOCK = 3
+    cfg.MODEL.HOURGLASS.CHANNELS_BLOCK = [64, 64, 96, 96]
+    cfg.MODEL.HOURGLASS.NUM_CONV_BLOCK = [1, 1, 1, 2]
+    cfg.MODEL.HOURGLASS.STEM_OUT_CHANNELS = 32
+    cfg.MODEL.HOURGLASS.OUT_FEATURES = ["hourglass2"]
+    cfg.MODEL.CORNER_NET.IN_FEATURES = ["hourglass2"]
+    cfg.MODEL.CORNER_NET.NUM_CLASSES = 8
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.freeze()
+    det = build_model(cfg)
+    variables = det.init_variables(jax.random.PRNGKey(0))
+    return det, variables
+
+
+def test_cornernet_loss_and_grads(tiny_cornernet):
+    det, variables = tiny_cornernet
+    batch = make_batch()
+    batch["gt_classes"] = jnp.clip(batch["gt_classes"], 0, 7)
+
+    def loss_fn(params):
+        return det.loss({**variables, "params": params}, batch)
+
+    (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    assert np.isfinite(float(total))
+    for k in ("loss_heat", "loss_pull", "loss_push", "loss_offset"):
+        assert np.isfinite(float(metrics[k])), k
+    g = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(g) and g > 0
+
+
+def test_cornernet_predict(tiny_cornernet):
+    det, variables = tiny_cornernet
+    batch = make_batch()
+    out = det.predict(variables, batch)
+    assert out["boxes"].shape == (1, det.max_dets, 4)
+    b = np.asarray(out["boxes"])
+    assert np.isfinite(b).all()
+    # decoded boxes are geometrically valid (br > tl) wherever valid
+    v = np.asarray(out["valid"])
+    if v.any():
+        assert (b[v][:, 2] >= b[v][:, 0]).all()
+        assert (b[v][:, 3] >= b[v][:, 1]).all()
