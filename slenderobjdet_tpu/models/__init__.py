@@ -16,10 +16,10 @@ def build_model(cfg):
 
 
 from .meta_arch.ablation import AblationMetaArch  # noqa: E402
-from .meta_arch.fcos import FCOS  # noqa: E402
+from .meta_arch.fcos import FCOS, FCOSTopK  # noqa: E402
 from .meta_arch.rcnn import ProposalVisibleRCNN  # noqa: E402
 from .meta_arch.reppoints import RepPointsDetector  # noqa: E402
-from .meta_arch.retinanet import RetinaNet  # noqa: E402
+from .meta_arch.retinanet import DeformableConvRetinaNet, RetinaNet  # noqa: E402
 
 META_ARCH_REGISTRY.register(FCOS, name="FCOS")
 # FCOSV2 is the reference's refactor of FCOS with identical training loss and
@@ -29,11 +29,16 @@ META_ARCH_REGISTRY.register(FCOS, name="FCOSV2")
 # diagnosis variant attaching implicit anchors to outputs (fcoswa.py:17-106);
 # location boxes are reconstructable host-side from the static grid
 META_ARCH_REGISTRY.register(FCOS, name="FCOSWithAnchor")
+META_ARCH_REGISTRY.register(FCOSTopK, name="FCOSTopK")
 META_ARCH_REGISTRY.register(RetinaNet, name="RetinaNet")
 # diagnosis variant that carries matched anchors through to outputs
 # (reference retinanetwa.py); anchors are reattachable host-side from the
 # fixed anchor grid, so the TPU build shares one implementation
 META_ARCH_REGISTRY.register(RetinaNet, name="RetinaNetWithAnchor")
+META_ARCH_REGISTRY.register(DeformableConvRetinaNet, name="DeformableConvRetinaNet")
+from .meta_arch.retinanet import CenternessRetinaNet, NearestRetinaNet  # noqa: E402
+META_ARCH_REGISTRY.register(CenternessRetinaNet, name="CenternessRetinaNet")
+META_ARCH_REGISTRY.register(NearestRetinaNet, name="NearestRetinaNet")
 META_ARCH_REGISTRY.register(ProposalVisibleRCNN, name="ProposalVisibleRCNN")
 META_ARCH_REGISTRY.register(ProposalVisibleRCNN, name="GeneralizedRCNN")
 # WithAnchor variant keeps (anchor, proposal) pairs; proposals are already

@@ -66,6 +66,8 @@ class BottleneckBlock(nn.Module):
     groups: int = 1
     dilation: int = 1
     norm: str = "FrozenBN"
+    deform: bool = False           # DEFORM_ON_PER_STAGE: conv2 -> DFConv2d
+    deform_modulated: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -77,12 +79,19 @@ class BottleneckBlock(nn.Module):
         out = get_norm(self.norm, self.bottleneck, self.dtype)(out)
         out = nn.relu(out)
 
-        out = nn.Conv(
-            self.bottleneck, (3, 3), (s3, s3),
-            padding=self.dilation, feature_group_count=self.groups,
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="conv2",
-        )(out)
+        if self.deform and s3 == 1 and self.groups == 1 and self.dilation == 1:
+            from ..layers import DFConv2d
+
+            out = DFConv2d(self.bottleneck, modulated=self.deform_modulated,
+                           dtype=self.dtype, name="conv2")(out)
+        else:
+            out = nn.Conv(
+                self.bottleneck, (3, 3), (s3, s3),
+                padding=self.dilation, feature_group_count=self.groups,
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                name="conv2",
+            )(out)
         out = get_norm(self.norm, self.bottleneck, self.dtype)(out)
         out = nn.relu(out)
 
@@ -110,6 +119,8 @@ class ResNet(nn.Module):
     res2_out_channels: int = 256
     stride_in_1x1: bool = True
     res5_dilation: int = 1
+    deform_on_per_stage: Sequence[bool] = (False, False, False, False)
+    deform_modulated: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -145,6 +156,8 @@ class ResNet(nn.Module):
                         groups=self.num_groups,
                         dilation=dilation,
                         norm=self.norm,
+                        deform=self.deform_on_per_stage[stage_idx],
+                        deform_modulated=self.deform_modulated,
                         dtype=self.dtype,
                         name=f"{name}_{block_idx}",
                     )(out)
@@ -184,6 +197,8 @@ def resnet_from_cfg(cfg, dtype=jnp.float32) -> ResNet:
         res2_out_channels=r.RES2_OUT_CHANNELS,
         stride_in_1x1=r.STRIDE_IN_1X1,
         res5_dilation=r.RES5_DILATION,
+        deform_on_per_stage=tuple(r.DEFORM_ON_PER_STAGE),
+        deform_modulated=r.DEFORM_MODULATED,
         dtype=dtype,
     )
 

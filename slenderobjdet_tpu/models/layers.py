@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
@@ -80,6 +81,42 @@ def get_norm(norm: str, features: int, dtype: Dtype = jnp.float32) -> Optional[n
         # or GN everywhere). Map BN→FrozenBN for inference-compatible behavior.
         return FrozenBatchNorm(features=features, dtype=dtype)
     raise ValueError(f"Unknown norm {norm!r}")
+
+
+class DFConv2d(nn.Module):
+    """Offset-predicting deformable conv (reference `slender_det/layers/
+    df_conv.py:6-79`): a 3x3 conv predicts 18 offsets (v1) or 27 offsets+mask
+    (v2 / modulated), feeding a deformable 3x3 conv. Offsets are produced in
+    torch DCN convention ((dy,dx)*9 relative to the kernel grid) and shifted
+    to the absolute convention of ops.deform_conv."""
+
+    features: int
+    modulated: bool = True       # v2
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.deform_conv import deform_conv2d_batched, kernel_base_offsets
+
+        assert self.stride == 1, "strided DFConv2d not needed by the reference"
+        b, h, w, cin = x.shape
+        off_ch = 27 if self.modulated else 18
+        pred = nn.Conv(off_ch, (3, 3), padding=1, dtype=self.dtype,
+                       param_dtype=jnp.float32,
+                       kernel_init=nn.initializers.zeros,
+                       name="offset_conv")(x).astype(jnp.float32)
+        rel = pred[..., :18].reshape(b, h, w, 9, 2)
+        mask = jax.nn.sigmoid(pred[..., 18:]) if self.modulated else None
+
+        base = jnp.asarray(kernel_base_offsets(3))
+        weight = self.param("weight", nn.initializers.normal(stddev=0.01),
+                            (9, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return deform_conv2d_batched(
+            x.astype(jnp.float32), rel + base, weight, bias, mask
+        ).astype(self.dtype)
 
 
 def conv3x3(features: int, stride: int = 1, use_bias: bool = True, dtype=jnp.float32,

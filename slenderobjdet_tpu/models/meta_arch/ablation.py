@@ -409,7 +409,7 @@ class AblationMetaArch:
         loc_init = jnp.concatenate(init_l, axis=1)
         loc_refine = jnp.concatenate(refine_l, axis=1)
 
-        labels, reg_targets = jax.vmap(
+        labels, reg_targets, _ = jax.vmap(
             partial(fcos_assign_single, num_classes=self.num_classes),
             in_axes=(None, None, 0, 0, 0),
         )(locations, soi, batch["gt_boxes"], batch["gt_classes"],

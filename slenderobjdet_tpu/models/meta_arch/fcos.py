@@ -53,6 +53,8 @@ class FCOSHead(nn.Module):
     prior_prob: float = 0.01
     centerness_on_reg: bool = False
     norm_reg_targets: bool = False
+    use_dcn_in_tower: bool = False       # last tower conv -> DFConv2d
+    use_dcn_v2: bool = True
     strides: Sequence[int] = (8, 16, 32, 64, 128)
     dtype: Any = jnp.float32
 
@@ -60,27 +62,27 @@ class FCOSHead(nn.Module):
     def __call__(self, feats: List[jnp.ndarray], train: bool = False):
         """feats: list of (B, H_l, W_l, C). Returns per-level lists of
         (B, H*W, num_classes) logits, (B, H*W, 4) reg, (B, H*W) centerness."""
+        from ..layers import DFConv2d
+
         c = feats[0].shape[-1]
         bias_init = nn.initializers.constant(
             -math.log((1 - self.prior_prob) / self.prior_prob)
         )
 
+        def tower_conv(prefix, i):
+            if self.use_dcn_in_tower and i == self.num_convs - 1:
+                return DFConv2d(c, modulated=self.use_dcn_v2,
+                                dtype=self.dtype, name=f"{prefix}_tower{i}")
+            return nn.Conv(c, (3, 3), padding=1, dtype=self.dtype,
+                           param_dtype=jnp.float32, kernel_init=_conv_init(),
+                           name=f"{prefix}_tower{i}")
+
         cls_tower = [
-            (
-                nn.Conv(c, (3, 3), padding=1, dtype=self.dtype,
-                        param_dtype=jnp.float32, kernel_init=_conv_init(),
-                        name=f"cls_tower{i}"),
-                GroupNorm32(c, name=f"cls_tower_gn{i}"),
-            )
+            (tower_conv("cls", i), GroupNorm32(c, name=f"cls_tower_gn{i}"))
             for i in range(self.num_convs)
         ]
         bbox_tower = [
-            (
-                nn.Conv(c, (3, 3), padding=1, dtype=self.dtype,
-                        param_dtype=jnp.float32, kernel_init=_conv_init(),
-                        name=f"bbox_tower{i}"),
-                GroupNorm32(c, name=f"bbox_tower_gn{i}"),
-            )
+            (tower_conv("bbox", i), GroupNorm32(c, name=f"bbox_tower_gn{i}"))
             for i in range(self.num_convs)
         ]
         cls_logits = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=self.dtype,
@@ -172,7 +174,7 @@ def fcos_assign_single(
         ltrb, gt_ind[:, None, None].repeat(4, axis=2), axis=1
     ).squeeze(1)
     labels = jnp.where(min_area >= INF, num_classes, gt_classes[gt_ind])
-    return labels.astype(jnp.int32), reg_targets
+    return labels.astype(jnp.int32), reg_targets, gt_ind.astype(jnp.int32)
 
 
 def compute_centerness_targets(reg_targets: jnp.ndarray) -> jnp.ndarray:
@@ -202,6 +204,8 @@ class FCOS:
             prior_prob=f.PRIOR_PROB,
             centerness_on_reg=f.CENTERNESS_ON_REG,
             norm_reg_targets=f.NORM_REG_TARGETS,
+            use_dcn_in_tower=f.USE_DCN_IN_TOWER,
+            use_dcn_v2=f.USE_DCN_V2,
             strides=tuple(f.FPN_STRIDES),
             dtype=dtype,
         )
@@ -223,6 +227,9 @@ class FCOS:
         self.pre_nms_top_n = f.PRE_NMS_TOP_N
         self.nms_thresh = f.NMS_TH
         self.max_dets = cfg.TEST.DETECTIONS_PER_IMAGE
+        # FCOSTopK: restrict the REG loss to the top-k positives per gt by
+        # centerness (reference fcos_topk.py:39-91,222-227); None = all
+        self.topk_per_gt = None
 
     # ------------------------------------------------------------ helpers
     def init_variables(self, rng, image_hw: Tuple[int, int] = (128, 128),
@@ -259,7 +266,7 @@ class FCOS:
         reg = jnp.concatenate(reg_l, axis=1)        # (B, L, 4)
         ctr = jnp.concatenate(ctr_l, axis=1)        # (B, L)
 
-        labels, reg_targets = jax.vmap(
+        labels, reg_targets, gt_inds = jax.vmap(
             partial(fcos_assign_single, num_classes=self.num_classes),
             in_axes=(None, None, 0, 0, 0),
         )(locations, soi, batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"])
@@ -292,9 +299,31 @@ class FCOS:
         safe_targets = jnp.where(pos[..., None], reg_targets, 1.0)
         ctr_targets = compute_centerness_targets(safe_targets)
         ctr_targets = jnp.where(pos, ctr_targets, 0.0)
-        sum_ctr = jnp.maximum(jnp.sum(ctr_targets), 1e-6)
+
+        reg_pos = pos
+        if self.topk_per_gt:
+            # keep the top-k positives per gt by centerness for the reg loss
+            G = batch["gt_boxes"].shape[1]
+            per_gt = (
+                jax.nn.one_hot(gt_inds, G, dtype=jnp.float32)
+                * pos[..., None]
+            )                                               # (B, L, G)
+            scores = jnp.where(per_gt > 0, ctr_targets[..., None], -jnp.inf)
+            kth = jax.lax.top_k(
+                scores.transpose(0, 2, 1), self.topk_per_gt
+            )[0][..., -1]                                   # (B, G)
+            gate = scores >= jnp.where(
+                jnp.isfinite(kth), kth, jnp.inf
+            )[:, None, :]
+            reg_pos = jnp.any(gate & (per_gt > 0), axis=-1)
+
+        sum_ctr = jnp.maximum(
+            jnp.sum(jnp.where(reg_pos, ctr_targets, 0.0)), 1e-6
+        )
         reg_losses = iou_loss_ltrb(reg, safe_targets, self.iou_loss_type)
-        reg_loss = jnp.sum(jnp.where(pos, reg_losses * ctr_targets, 0.0)) / sum_ctr
+        reg_loss = jnp.sum(
+            jnp.where(reg_pos, reg_losses * ctr_targets, 0.0)
+        ) / sum_ctr
 
         ctr_loss = jnp.sum(
             jnp.where(pos, optax_sigmoid_ce(ctr, ctr_targets), 0.0)
@@ -384,3 +413,13 @@ def _fcos_level_candidates(logits, reg, ctr, locations, pre_nms_thresh, pre_nms_
     sel_loc = locations[loc_idx]                                    # (B,K,2)
     boxes = box_ops.decode_ltrb(sel_loc, sel_reg)
     return boxes, jnp.sqrt(top_scores), cls_idx, valid
+
+
+class FCOSTopK(FCOS):
+    """FCOS whose regression loss is restricted to the 5 highest-centerness
+    positives per gt (reference fcos_topk.py:102-468; cls/centerness losses
+    keep all positives, fcos_topk.py:184-236)."""
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.topk_per_gt = 5

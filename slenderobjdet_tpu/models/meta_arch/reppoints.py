@@ -229,6 +229,34 @@ def rep_points_assign(
     return objectness, matched_boxes
 
 
+def rep_points_assign_with_idx(centers, point_lvls, gt_boxes, gt_valid,
+                               lvl_min, lvl_max, scale=4.0, pos_num=1):
+    """rep_points_assign variant also returning the matched gt index
+    (rep_points_match_with_classes, rep_matcher.py:104+)."""
+    gt_xy = (gt_boxes[:, :2] + gt_boxes[:, 2:]) / 2
+    gt_wh = jnp.clip(gt_boxes[:, 2:] - gt_boxes[:, :2], 1e-6, None)
+    gt_lvl = ((jnp.log2(gt_wh[:, 0] / scale) + jnp.log2(gt_wh[:, 1] / scale))
+              / 2).astype(jnp.int32)
+    gt_lvl = jnp.clip(gt_lvl, lvl_min, lvl_max)
+    d = jnp.linalg.norm(
+        (centers[None, :, :] - gt_xy[:, None, :]) / gt_wh[:, None, :], axis=-1
+    )
+    on_lvl = point_lvls[None, :] == gt_lvl[:, None]
+    d = jnp.where(on_lvl & gt_valid[:, None], d, jnp.inf)
+    neg_d, top_idx = jax.lax.top_k(-d, pos_num)
+    picked = jnp.isfinite(neg_d)
+    vals = jnp.where(picked, jnp.take_along_axis(d, top_idx, axis=1), jnp.inf)
+    rows = jnp.broadcast_to(
+        jnp.arange(d.shape[0])[:, None], top_idx.shape
+    ).reshape(-1)
+    cand = jnp.full(d.shape, jnp.inf).at[rows, top_idx.reshape(-1)].min(
+        vals.reshape(-1)
+    )
+    best = jnp.min(cand, axis=0)
+    best_gt = jnp.argmin(cand, axis=0)
+    return jnp.isfinite(best), best_gt
+
+
 class RepPointsDetector:
     """Config-driven RepPoints (same detector interface as FCOS/RetinaNet)."""
 

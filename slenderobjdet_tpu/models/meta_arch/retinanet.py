@@ -37,27 +37,29 @@ class RetinaNetHead(nn.Module):
     num_anchors: int
     num_convs: int = 4
     prior_prob: float = 0.01
+    use_dcn: bool = False     # DeformableConvRetinaNet (reference retinadc.py)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats: List[jnp.ndarray]):
+        from ..layers import DFConv2d
+
         c = feats[0].shape[-1]
         init = nn.initializers.normal(stddev=0.01)
         bias_init = nn.initializers.constant(
             -math.log((1 - self.prior_prob) / self.prior_prob)
         )
-        cls_subnet = [
-            nn.Conv(c, (3, 3), padding=1, dtype=self.dtype,
-                    param_dtype=jnp.float32, kernel_init=init,
-                    name=f"cls_subnet{i}")
-            for i in range(self.num_convs)
-        ]
-        bbox_subnet = [
-            nn.Conv(c, (3, 3), padding=1, dtype=self.dtype,
-                    param_dtype=jnp.float32, kernel_init=init,
-                    name=f"bbox_subnet{i}")
-            for i in range(self.num_convs)
-        ]
+
+        def subnet_conv(prefix, i):
+            if self.use_dcn:
+                return DFConv2d(c, modulated=True, dtype=self.dtype,
+                                name=f"{prefix}_subnet{i}")
+            return nn.Conv(c, (3, 3), padding=1, dtype=self.dtype,
+                           param_dtype=jnp.float32, kernel_init=init,
+                           name=f"{prefix}_subnet{i}")
+
+        cls_subnet = [subnet_conv("cls", i) for i in range(self.num_convs)]
+        bbox_subnet = [subnet_conv("bbox", i) for i in range(self.num_convs)]
         cls_score = nn.Conv(self.num_anchors * self.num_classes, (3, 3), padding=1,
                             dtype=self.dtype, param_dtype=jnp.float32,
                             kernel_init=init, bias_init=bias_init,
@@ -120,9 +122,18 @@ def retinanet_label_anchors(
 
 
 class RetinaNet:
-    """Config-driven RetinaNet detector (same interface as FCOS)."""
+    """Config-driven RetinaNet detector (same interface as FCOS).
 
-    def __init__(self, cfg):
+    assign_mode selects the anchor-labeling strategy:
+    - "iou": d2 IoU matcher (default RetinaNet)
+    - "fcos": FCOS in-box + size-of-interest assignment at anchor centers
+      (reference CenternessRetinaNet, retina_centerness_assign.py:30-144)
+    - "nearest": nearest-point match at the gt's pyramid level
+      (reference NearestRetinaNet, retina_nearest_assign.py:29-79)
+    """
+
+    def __init__(self, cfg, use_dcn: bool = False, assign_mode: str = "iou"):
+        self.assign_mode = assign_mode
         self.cfg = cfg
         dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
         r = cfg.MODEL.RETINANET
@@ -151,6 +162,7 @@ class RetinaNet:
             num_anchors=num_anchors,
             num_convs=r.NUM_CONVS,
             prior_prob=r.PRIOR_PROB,
+            use_dcn=use_dcn,
             dtype=dtype,
         )
         self.module = RetinaNetModule(
@@ -171,25 +183,83 @@ class RetinaNet:
     def _anchors(self, image_hw) -> Tuple[np.ndarray, List[int]]:
         return self.anchor_spec.anchors(image_hw)
 
+    # --------------------------------------------------------- assignment
+    def _label_batch(self, anchors_np, counts, batch):
+        anchors = jnp.asarray(anchors_np)
+        if self.assign_mode == "iou":
+            return jax.vmap(
+                partial(
+                    retinanet_label_anchors,
+                    thresholds=self.iou_thresholds,
+                    labels=self.iou_labels,
+                    num_classes=self.num_classes,
+                ),
+                in_axes=(None, 0, 0, 0),
+            )(anchors, batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"])
+
+        centers_np = np.stack(
+            [
+                (anchors_np[:, 0] + anchors_np[:, 2]) // 2,
+                (anchors_np[:, 1] + anchors_np[:, 3]) // 2,
+            ],
+            axis=1,
+        ).astype(np.float32)
+        centers = jnp.asarray(centers_np)
+        strides = [self.backbone_spec.strides[f] for f in self.in_features]
+
+        if self.assign_mode == "fcos":
+            from .fcos import SIZES_OF_INTEREST, fcos_assign_single
+
+            soi = jnp.asarray(np.concatenate([
+                np.broadcast_to(np.array(SIZES_OF_INTEREST[i], np.float32),
+                                (c, 2))
+                for i, c in enumerate(counts)
+            ]))
+
+            def one(gb, gc, gv):
+                labels, reg, _ = fcos_assign_single(
+                    centers, soi, gb, gc, gv, num_classes=self.num_classes
+                )
+                matched = box_ops.decode_ltrb(centers, reg)
+                return labels, matched
+
+            return jax.vmap(one)(
+                batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"]
+            )
+
+        if self.assign_mode == "nearest":
+            from .reppoints import rep_points_assign_with_idx
+
+            lvls = jnp.asarray(np.concatenate([
+                np.full(c, int(np.log2(s)), np.int32)
+                for c, s in zip(counts, strides)
+            ]))
+            lvl_min = int(np.log2(strides[0]))
+            lvl_max = int(np.log2(strides[-1]))
+
+            def one(gb, gc, gv):
+                obj, idx = rep_points_assign_with_idx(
+                    centers, lvls, gb, gv, lvl_min, lvl_max
+                )
+                labels = jnp.where(obj, gc[idx], self.num_classes)
+                return labels.astype(jnp.int32), gb[idx]
+
+            return jax.vmap(one)(
+                batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"]
+            )
+        raise ValueError(self.assign_mode)
+
     # --------------------------------------------------------------- loss
     def loss(self, variables, batch) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         images = batch["image"]
-        anchors_np, _ = self._anchors(images.shape[1:3])
+        anchors_np, counts = self._anchors(images.shape[1:3])
         anchors = jnp.asarray(anchors_np)
 
         logits_l, regs_l = self.module.apply(variables, images)
         logits = jnp.concatenate(logits_l, axis=1)   # (B, N, C)
         regs = jnp.concatenate(regs_l, axis=1)       # (B, N, 4)
 
-        gt_labels, matched_boxes = jax.vmap(
-            partial(
-                retinanet_label_anchors,
-                thresholds=self.iou_thresholds,
-                labels=self.iou_labels,
-                num_classes=self.num_classes,
-            ),
-            in_axes=(None, 0, 0, 0),
-        )(anchors, batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"])
+        gt_labels, matched_boxes = self._label_batch(anchors_np, counts, batch)
 
         valid = gt_labels >= 0                        # not ignored
         fg = (gt_labels >= 0) & (gt_labels < self.num_classes)
@@ -253,6 +323,30 @@ class RetinaNet:
             batch["orig_size"].astype(jnp.float32),
         )
         return {"boxes": ob, "scores": os_, "classes": oc, "valid": ov}
+
+
+class DeformableConvRetinaNet(RetinaNet):
+    """RetinaNet with modulated deformable convs in the head towers
+    (reference `retina/retinadc.py:25-325`)."""
+
+    def __init__(self, cfg):
+        super().__init__(cfg, use_dcn=True)
+
+
+class CenternessRetinaNet(RetinaNet):
+    """RetinaNet with FCOS-style assignment at anchor centers
+    (reference retina_centerness_assign.py:30-144)."""
+
+    def __init__(self, cfg):
+        super().__init__(cfg, assign_mode="fcos")
+
+
+class NearestRetinaNet(RetinaNet):
+    """RetinaNet with nearest-point assignment
+    (reference retina_nearest_assign.py:29-79)."""
+
+    def __init__(self, cfg):
+        super().__init__(cfg, assign_mode="nearest")
 
 
 def _retina_level_candidates(logits, regs, anchors, score_thresh, topk, weights):

@@ -60,7 +60,7 @@ def test_assignment_matches_oracle(rng):
 
     exp_labels, exp_reg = oracle_assign(locations, soi, gt_boxes, gt_classes)
 
-    labels, reg = jax.jit(
+    labels, reg, _ = jax.jit(
         lambda *a: fcos_assign_single(*a, num_classes=NUM_CLASSES)
     )(
         jnp.asarray(locations),
@@ -80,7 +80,7 @@ def test_assignment_no_valid_gt():
         [np.broadcast_to(np.array(SIZES_OF_INTEREST[i]), (c, 2)) for i, c in enumerate(counts)]
     )
     G = 3
-    labels, reg = fcos_assign_single(
+    labels, reg, _ = fcos_assign_single(
         jnp.asarray(locations),
         jnp.asarray(soi, jnp.float32),
         jnp.zeros((G, 4)),
