@@ -49,6 +49,9 @@ class DatasetMapper:
         self.sampling = cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING
         self.max_size = cfg.INPUT.MAX_SIZE_TRAIN if is_train else cfg.INPUT.MAX_SIZE_TEST
         self.max_gt = cfg.TPU.MAX_GT_PER_IMAGE
+        # NEED_MASKS: render the center-score map used by FCOSV3's
+        # mask-based center sampling / the BorderMaskMapper path
+        self.need_masks = cfg.NEED_MASKS
         # two orientation buckets; shapes chosen to fit shortest-edge resize
         short = max(self.min_sizes)
         # round the long side up to stride-128 multiple
@@ -69,6 +72,11 @@ class DatasetMapper:
         ]
         boxes = np.array([a["bbox"] for a in annos], np.float32).reshape(-1, 4)
         classes = np.array([a["category_id"] for a in annos], np.int64)
+        polygons = [
+            [np.asarray(p, np.float64) for p in a["segmentation"]]
+            if isinstance(a.get("segmentation"), list) else []
+            for a in annos
+        ] if self.need_masks else None
         rboxes = None
         if annos and "rbox" in annos[0]:
             rboxes = np.array([a["rbox"] for a in annos], np.float32).reshape(-1, 5)
@@ -77,12 +85,25 @@ class DatasetMapper:
         image, boxes, scale = T.resize_shortest_edge(image, boxes, short, self.max_size)
         if rboxes is not None:
             rboxes[:, :4] *= scale  # uniform scale; angle unchanged
+        if polygons is not None:
+            polygons = [[p * scale for p in inst] for inst in polygons]
 
         if self.is_train and rng.random() < 0.5:
             image, boxes = T.horizontal_flip(image, boxes)
             if rboxes is not None:
                 rboxes[:, 0] = image.shape[1] - rboxes[:, 0]
                 rboxes[:, 4] = -rboxes[:, 4]
+            if polygons is not None:
+                w_img = image.shape[1]
+                flipped = []
+                for inst in polygons:
+                    new_inst = []
+                    for p in inst:
+                        q = p.copy()
+                        q[0::2] = w_img - q[0::2]
+                        new_inst.append(q)
+                    flipped.append(new_inst)
+                polygons = flipped
 
         rh, rw = image.shape[:2]
         pad_hw = self.pad_landscape if rw >= rh else self.pad_portrait
@@ -104,10 +125,20 @@ class DatasetMapper:
         gt_classes[:n] = classes[:n]
         gt_valid[:n] = True
 
+        extra = {}
+        if polygons is not None:
+            from ..structures.borders import BorderMasks
+
+            kept_polys = [p for p, k in zip(polygons, keep) if k and p]
+            masks = BorderMasks(kept_polys)
+            cm = masks.center_masks((rh, rw), standard="gaussian", sigma=0.5)
+            extra["center_mask"] = T.pad_to(cm, image.shape[:2])
+
         if rboxes is not None:
             gt_rboxes = np.zeros((self.max_gt, 5), np.float32)
             gt_rboxes[:n] = rboxes[:n]
             return {
+                **extra,
                 "image": image,
                 "gt_boxes": gt_boxes,
                 "gt_rboxes": gt_rboxes,
@@ -120,6 +151,7 @@ class DatasetMapper:
             }
 
         return {
+            **extra,
             "image": image,
             "gt_boxes": gt_boxes,
             "gt_classes": gt_classes,

@@ -16,7 +16,7 @@ def build_model(cfg):
 
 
 from .meta_arch.ablation import AblationMetaArch  # noqa: E402
-from .meta_arch.fcos import FCOS, FCOSTopK  # noqa: E402
+from .meta_arch.fcos import FCOS, FCOSTopK, FCOSV3  # noqa: E402
 from .meta_arch.rcnn import ProposalVisibleRCNN  # noqa: E402
 from .meta_arch.reppoints import RepPointsDetector  # noqa: E402
 from .meta_arch.retinanet import DeformableConvRetinaNet, RetinaNet  # noqa: E402
@@ -30,6 +30,7 @@ META_ARCH_REGISTRY.register(FCOS, name="FCOSV2")
 # location boxes are reconstructable host-side from the static grid
 META_ARCH_REGISTRY.register(FCOS, name="FCOSWithAnchor")
 META_ARCH_REGISTRY.register(FCOSTopK, name="FCOSTopK")
+META_ARCH_REGISTRY.register(FCOSV3, name="FCOSV3")
 META_ARCH_REGISTRY.register(RetinaNet, name="RetinaNet")
 # diagnosis variant that carries matched anchors through to outputs
 # (reference retinanetwa.py); anchors are reattachable host-side from the

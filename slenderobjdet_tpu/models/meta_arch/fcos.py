@@ -230,6 +230,9 @@ class FCOS:
         # FCOSTopK: restrict the REG loss to the top-k positives per gt by
         # centerness (reference fcos_topk.py:39-91,222-227); None = all
         self.topk_per_gt = None
+        # FCOSV3: mask-based center sampling (fcosv3.py:129-142)
+        self.mask_center_sampling = False
+        self.mask_thresh = 0.2
 
     # ------------------------------------------------------------ helpers
     def init_variables(self, rng, image_hw: Tuple[int, int] = (128, 128),
@@ -270,6 +273,18 @@ class FCOS:
             partial(fcos_assign_single, num_classes=self.num_classes),
             in_axes=(None, None, 0, 0, 0),
         )(locations, soi, batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"])
+
+        if self.mask_center_sampling and "center_mask" in batch:
+            # FCOSV3 (fcosv3.py:129-142): locations whose rendered center
+            # score falls below mask_thresh become background
+            cm = batch["center_mask"]                       # (B, H, W)
+            ix = jnp.clip(locations[:, 0].astype(jnp.int32), 0, cm.shape[2] - 1)
+            iy = jnp.clip(locations[:, 1].astype(jnp.int32), 0, cm.shape[1] - 1)
+            scores_at = cm[:, iy, ix]                        # (B, L)
+            labels = jnp.where(
+                (labels < self.num_classes) & (scores_at <= self.mask_thresh),
+                self.num_classes, labels,
+            )
 
         if self.norm_reg_targets:
             stride_per_loc = jnp.asarray(
@@ -423,3 +438,15 @@ class FCOSTopK(FCOS):
     def __init__(self, cfg):
         super().__init__(cfg)
         self.topk_per_gt = 5
+
+
+class FCOSV3(FCOS):
+    """FCOS with mask-based center sampling (reference fcosv3.py:55-343):
+    only locations where the polygon-rendered center-score map exceeds 0.2
+    stay positive. Requires cfg.NEED_MASKS so the data pipeline emits
+    center_mask (structures/borders.py)."""
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.mask_center_sampling = True
+        self.mask_thresh = 0.2
