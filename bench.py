@@ -16,7 +16,7 @@ import json
 import time
 
 A100_FCOS_R50_IMG_S = 40.0
-BATCH = 16
+BATCH = 32
 WARMUP = 3
 ITERS = 10
 
