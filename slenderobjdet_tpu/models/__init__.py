@@ -48,6 +48,25 @@ META_ARCH_REGISTRY.register(ProposalVisibleRCNN, name="ProposalVisibleRCNNWithAn
 META_ARCH_REGISTRY.register(RepPointsDetector, name="RepPointsDetector")
 META_ARCH_REGISTRY.register(AblationMetaArch, name="AblationMetaArch")
 
+from .meta_arch.hybrids import (  # noqa: E402
+    FCOSNCRetinaNet,
+    FCOSRepPoints,
+    FCOSRetinaNet,
+    PointRetinaNet,
+    RepPointsCenterness,
+    RepPointsV2,
+)
+
+META_ARCH_REGISTRY.register(RepPointsCenterness, name="RepPointsCenterness")
+META_ARCH_REGISTRY.register(RepPointsV2, name="RepPointsV2")
+META_ARCH_REGISTRY.register(FCOSRetinaNet, name="FCOSRetinaNet")
+META_ARCH_REGISTRY.register(FCOSNCRetinaNet, name="FCOSNCRetinaNet")
+META_ARCH_REGISTRY.register(PointRetinaNet, name="PointRetinaNet")
+META_ARCH_REGISTRY.register(FCOSRepPoints, name="FCOSRepPoints")
+# RetinaNet head predicting point sets (retina_reppoints.py); functionally
+# a single-anchor point-set detector = the RepPoints chassis
+META_ARCH_REGISTRY.register(FCOSRepPoints, name="ReppointsRetinaNet")
+
 from .meta_arch.retina_rotated import RotatedRetinaNet  # noqa: E402
 
 META_ARCH_REGISTRY.register(RotatedRetinaNet, name="RotatedRetinaNet")

@@ -283,6 +283,8 @@ class RepPointsDetector:
         self.backbone_spec = spec
         self.strides = [spec.strides[f] for f in self.in_features]
         self.point_strides = [s // self.strides[0] * 1.0 for s in self.strides]
+        # stage-1 positives per gt (FCOSRepPoints hybrid widens this to 3)
+        self.init_pos_num = 1
 
         self.module = RepPointsModule(
             backbone=spec.module,
@@ -356,8 +358,9 @@ class RepPointsDetector:
         # init assignment (point matching) -- no dependence on predictions
         init_obj, init_gt_boxes = jax.vmap(
             partial(rep_points_assign, lvl_min=lvl_min, lvl_max=lvl_max,
-                    scale=float(self.point_base_scale))
-            , in_axes=(None, None, 0, 0),
+                    scale=float(self.point_base_scale),
+                    pos_num=self.init_pos_num),
+            in_axes=(None, None, 0, 0),
         )(centers, lvls, batch["gt_boxes"], batch["gt_valid"])
 
         # refine assignment: IoU match against the (detached) init boxes

@@ -114,3 +114,34 @@ def test_assignment_variants(arch):
     assert np.isfinite(float(total)), (arch, metrics)
     out = det.predict(variables, batch)
     assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+@pytest.mark.parametrize("arch", ["RepPointsCenterness", "RepPointsV2",
+                                  "FCOSRepPoints", "FCOSRetinaNet",
+                                  "PointRetinaNet"])
+def test_hybrid_variants(arch):
+    from conftest import make_tiny_cfg
+
+    cfg = make_tiny_cfg()
+    cfg.MODEL.META_ARCHITECTURE = arch
+    if "RetinaNet" in arch and arch not in ("ReppointsRetinaNet",):
+        cfg.MODEL.ANCHOR_GENERATOR.SIZES = [
+            [x, x * 2 ** (1 / 3), x * 2 ** (2 / 3)]
+            for x in [32, 64, 128, 256, 512]
+        ]
+    cfg.freeze()
+    det = build_model(cfg)
+    variables = det.init_variables(jax.random.PRNGKey(0))
+    batch = make_batch()
+
+    def loss_fn(params):
+        return det.loss({**variables, "params": params}, batch)
+
+    (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    assert np.isfinite(float(total)), (arch, metrics)
+    g = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(g) and g > 0, arch
+    out = det.predict(variables, batch)
+    assert np.isfinite(np.asarray(out["boxes"])).all(), arch
