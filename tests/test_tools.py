@@ -1,0 +1,122 @@
+"""Smoke tests for the tools layer over real evaluator artifacts."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from synthetic import make_coco_json
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    """Synthetic gt json + a results json (gt echoed with jitter)."""
+    tmpdir = tmp_path_factory.mktemp("tools")
+    gt_json, image_root = make_coco_json(tmpdir, num_images=4, slender=True)
+    with open(gt_json) as f:
+        data = json.load(f)
+    results = []
+    rng = np.random.RandomState(0)
+    for ann in data["annotations"]:
+        x, y, w, h = ann["bbox"]
+        results.append({
+            "image_id": ann["image_id"],
+            "category_id": ann["category_id"],
+            "bbox": [x + rng.randn(), y + rng.randn(), w, h],
+            "score": float(rng.rand() * 0.5 + 0.5),
+        })
+    res_path = os.path.join(str(tmpdir), "coco_instances_results.json")
+    with open(res_path, "w") as f:
+        json.dump(results, f)
+    metrics_path = os.path.join(str(tmpdir), "evaluate_metrics.json")
+    with open(metrics_path, "w") as f:
+        json.dump({"bbox": {"AP": 50.0, "AP-0-1/5": 30.0, "AP-1/5-1/3": 40.0,
+                            "AP-1/3-3": 60.0, "AP-3-5": -100.0,
+                            "AP-5-INF": -100.0, "AR-0-1/5": 35.0,
+                            "AR-1/5-1/3": 45.0, "AR-1/3-3": 65.0,
+                            "AR-3-5": -100.0, "AR-5-INF": -100.0}}, f)
+    return {"gt": gt_json, "root": image_root, "results": res_path,
+            "metrics": metrics_path, "dir": str(tmpdir)}
+
+
+def run_tool(args):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable] + args, cwd=REPO, env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, (args, r.stdout[-2000:], r.stderr[-2000:])
+    return r.stdout
+
+
+def test_ar_result(artifacts):
+    out = run_tool(["tools/ar_result.py", "--results", artifacts["results"],
+                    "--gt-json", artifacts["gt"]])
+    assert "AR@100" in out and "by aspect ratio" in out
+
+
+def test_regression(artifacts):
+    out = run_tool(["tools/regression.py", "--metrics", artifacts["metrics"]])
+    assert "slope" in out
+
+
+def test_plot_evaluation(artifacts):
+    out_png = os.path.join(artifacts["dir"], "plot.png")
+    run_tool(["tools/plot_evaluation.py", "--metrics", artifacts["metrics"],
+              "--out", out_png])
+    assert os.path.exists(out_png)
+
+
+def test_data_statistic(artifacts):
+    out = run_tool(["tools/data_statistic.py", "--gt-json", artifacts["gt"]])
+    assert "instances" in out and "XS(0-1/5)" in out
+
+
+def test_coco_class_info(artifacts):
+    out = run_tool(["tools/coco_class_info.py", "--gt-json", artifacts["gt"]])
+    assert "med-ratio" in out
+
+
+def test_visualize(artifacts):
+    out_dir = os.path.join(artifacts["dir"], "vis")
+    run_tool(["tools/visualize_slender_results.py",
+              "--results", artifacts["results"],
+              "--gt-json", artifacts["gt"],
+              "--image-root", artifacts["root"],
+              "--out-dir", out_dir, "--score-thresh", "0.0"])
+    assert len(os.listdir(out_dir)) > 0
+
+
+def test_mask_to_rbox(artifacts):
+    out_json = os.path.join(artifacts["dir"], "rcoco.json")
+    run_tool(["tools/mask_to_rbox.py", "--gt-json", artifacts["gt"],
+              "--out", out_json])
+    with open(out_json) as f:
+        data = json.load(f)
+    assert all("rbox" in a for a in data["annotations"])
+
+
+def test_webcv2_server():
+    import urllib.request
+
+    import numpy as np
+
+    from slenderobjdet_tpu.utils import webcv2
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    webcv2.imshow("test", img, port=18999)
+    html = urllib.request.urlopen("http://127.0.0.1:18999/").read()
+    assert b"webcv2" in html and b"/img/test" in html
+    jpg = urllib.request.urlopen("http://127.0.0.1:18999/img/test").read()
+    assert jpg[:2] == b"\xff\xd8"  # JPEG magic
+
+
+def test_visualizer_grouping():
+    from slenderobjdet_tpu.utils.visualizer import ratio_group
+
+    assert ratio_group(50, 5) == 4   # very wide -> XL bucket
+    assert ratio_group(5, 50) == 0   # very tall -> XS
+    assert ratio_group(10, 10) == 2  # square -> M
