@@ -31,6 +31,20 @@ META_ARCH_REGISTRY.register(FCOS, name="FCOSV2")
 META_ARCH_REGISTRY.register(FCOS, name="FCOSWithAnchor")
 META_ARCH_REGISTRY.register(FCOSTopK, name="FCOSTopK")
 META_ARCH_REGISTRY.register(FCOSV3, name="FCOSV3")
+
+from .meta_arch.fcos_anchor import FCOSAnchor  # noqa: E402
+
+META_ARCH_REGISTRY.register(FCOSAnchor, name="FCOSAnchor")
+
+from .meta_arch.proposal_network import ProposalNetworkWithMasks  # noqa: E402
+from .proposal_generator.rpn import RPN  # noqa: E402
+
+META_ARCH_REGISTRY.register(ProposalNetworkWithMasks, name="ProposalNetworkWithMasks")
+# RPN variants: one implementation with a pluggable matcher covers the
+# reference's RPN / RPNWNM / RPNWithAnchor (proposal_generator/rpn.py:25-356)
+PROPOSAL_GENERATOR_REGISTRY.register(RPN, name="RPN")
+PROPOSAL_GENERATOR_REGISTRY.register(RPN, name="RPNWNM")
+PROPOSAL_GENERATOR_REGISTRY.register(RPN, name="RPNWithAnchor")
 META_ARCH_REGISTRY.register(RetinaNet, name="RetinaNet")
 # diagnosis variant that carries matched anchors through to outputs
 # (reference retinanetwa.py); anchors are reattachable host-side from the

@@ -409,7 +409,7 @@ class AblationMetaArch:
         loc_init = jnp.concatenate(init_l, axis=1)
         loc_refine = jnp.concatenate(refine_l, axis=1)
 
-        labels, reg_targets, _ = jax.vmap(
+        labels, reg_targets, gt_inds = jax.vmap(
             partial(fcos_assign_single, num_classes=self.num_classes),
             in_axes=(None, None, 0, 0, 0),
         )(locations, soi, batch["gt_boxes"], batch["gt_classes"],
@@ -428,12 +428,29 @@ class AblationMetaArch:
         ctr_fn = (compute_slender_centerness_targets
                   if self.slender_centerness else compute_centerness_targets)
         ctr_targets = jnp.where(pos, ctr_fn(safe_targets), 0.0)
-        sum_ctr = jnp.maximum(jnp.sum(ctr_targets), 1e-6)
+
+        reg_pos = pos
+        if self.head_name == "LRTBTopkHead":
+            # top-5 positives per gt by centerness feed the localization
+            # losses (the LRTBTopkHead ablation, lrtb_topk_head.py)
+            G = batch["gt_boxes"].shape[1]
+            per_gt = jax.nn.one_hot(gt_inds, G, dtype=jnp.float32) \
+                * pos[..., None]
+            scores = jnp.where(per_gt > 0, ctr_targets[..., None], -jnp.inf)
+            kth = jax.lax.top_k(scores.transpose(0, 2, 1), 5)[0][..., -1]
+            gate = scores >= jnp.where(jnp.isfinite(kth), kth,
+                                       jnp.inf)[:, None, :]
+            reg_pos = jnp.any(gate & (per_gt > 0), axis=-1)
+
+        sum_ctr = jnp.maximum(
+            jnp.sum(jnp.where(reg_pos, ctr_targets, 0.0)), 1e-6)
 
         l_init = iou_loss_ltrb(loc_init, safe_targets, self.iou_loss_type)
         l_ref = iou_loss_ltrb(loc_refine, safe_targets, self.iou_loss_type)
-        loss_init = jnp.sum(jnp.where(pos, l_init * ctr_targets, 0.0)) / sum_ctr
-        loss_refine = jnp.sum(jnp.where(pos, l_ref * ctr_targets, 0.0)) / sum_ctr
+        loss_init = jnp.sum(
+            jnp.where(reg_pos, l_init * ctr_targets, 0.0)) / sum_ctr
+        loss_refine = jnp.sum(
+            jnp.where(reg_pos, l_ref * ctr_targets, 0.0)) / sum_ctr
         ctr_loss = jnp.sum(
             jnp.where(pos, optax_sigmoid_ce(ctr, ctr_targets), 0.0)
         ) / num_pos

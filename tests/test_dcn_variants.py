@@ -145,3 +145,49 @@ def test_hybrid_variants(arch):
     assert np.isfinite(g) and g > 0, arch
     out = det.predict(variables, batch)
     assert np.isfinite(np.asarray(out["boxes"])).all(), arch
+
+
+def test_fcos_anchor():
+    from conftest import make_tiny_cfg
+
+    cfg = make_tiny_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "FCOSAnchor"
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[64], [128], [256], [512], [1024]]
+    cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[0.5, 1.0, 2.0]]
+    cfg.freeze()
+    det = build_model(cfg)
+    variables = det.init_variables(jax.random.PRNGKey(0))
+    batch = make_batch()
+
+    def loss_fn(params):
+        return det.loss({**variables, "params": params}, batch)
+
+    (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    assert np.isfinite(float(total)), metrics
+    assert np.isfinite(float(metrics["shape_loss"]))
+    g = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(g) and g > 0
+    out = det.predict(variables, batch)
+    assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+def test_proposal_network_with_masks():
+    from conftest import make_tiny_cfg
+
+    cfg = make_tiny_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "ProposalNetworkWithMasks"
+    cfg.NEED_MASKS = True
+    cfg.freeze()
+    det = build_model(cfg)
+    variables = det.init_variables(jax.random.PRNGKey(0))
+    batch = make_batch()
+    cm = np.zeros((1, 64, 64), np.float32)
+    cm[:, 10:50, 10:50] = 1.0
+    batch["center_mask"] = jnp.asarray(cm)
+    total, metrics = det.loss(variables, batch)
+    assert np.isfinite(float(total))
+    out = det.predict(variables, batch)
+    assert out["proposals"].shape[2] == 4
+    assert np.isfinite(np.asarray(out["proposals"])).all()

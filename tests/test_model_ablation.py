@@ -68,3 +68,14 @@ def test_adaption_offsets_receive_grads():
     )
     off_g = grads["head"]["offset_conv"]["kernel"]
     assert float(jnp.abs(off_g).sum()) > 0
+
+
+def test_lrtb_topk_head():
+    cfg = ablation_cfg("LRTBTopkHead", "Empty")
+    det = build_model(cfg)
+    variables = det.init_variables(jax.random.PRNGKey(0))
+    batch = make_batch()
+    total, metrics = det.loss(variables, batch)
+    assert np.isfinite(float(total))
+    out = det.predict(variables, batch)
+    assert np.isfinite(np.asarray(out["boxes"])).all()

@@ -120,3 +120,30 @@ def test_visualizer_grouping():
     assert ratio_group(50, 5) == 4   # very wide -> XL bucket
     assert ratio_group(5, 50) == 0   # very tall -> XS
     assert ratio_group(10, 10) == 2  # square -> M
+
+
+def test_tta_predict():
+    import jax
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from conftest import make_tiny_cfg
+    from slenderobjdet_tpu.models import build_model
+    from slenderobjdet_tpu.engine.tta import tta_predict
+
+    cfg = make_tiny_cfg()
+    cfg.TEST.AUG.ENABLED = True
+    cfg.TEST.AUG.MIN_SIZES = (48, 64)
+    cfg.TEST.AUG.MAX_SIZE = 128
+    cfg.TEST.AUG.FLIP = True
+    cfg.freeze()
+    det = build_model(cfg)
+    variables = det.init_variables(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    dataset_dict = {
+        "image": rng.randint(0, 255, (60, 80, 3)).astype(np.uint8),
+        "image_id": 1,
+        "annotations": [],
+    }
+    out = tta_predict(det, variables, dataset_dict, cfg, predict_fns={})
+    assert out["boxes"].shape[1] == 4
+    assert np.isfinite(out["boxes"]).all()
