@@ -147,3 +147,26 @@ def test_tta_predict():
     out = tta_predict(det, variables, dataset_dict, cfg, predict_fns={})
     assert out["boxes"].shape[1] == 4
     assert np.isfinite(out["boxes"]).all()
+
+
+def test_merge_into_coco(artifacts):
+    out_json = os.path.join(artifacts["dir"], "merged.json")
+    run_tool(["tools/merge_into_coco.py", "--gt-json", artifacts["gt"],
+              "--results", artifacts["results"], "--out", out_json,
+              "--score-thresh", "0.0"])
+    with open(out_json) as f:
+        merged = json.load(f)
+    with open(artifacts["gt"]) as f:
+        orig = json.load(f)
+    assert len(merged["annotations"]) == 2 * len(orig["annotations"])
+
+
+def test_generate_border_maps(artifacts):
+    out_dir = os.path.join(artifacts["dir"], "maps")
+    out = run_tool(["tools/generate_border_maps.py",
+                    "--gt-json", artifacts["gt"], "--out-dir", out_dir])
+    assert "rendered maps" in out
+    files = os.listdir(out_dir)
+    assert files
+    data = np.load(os.path.join(out_dir, files[0]))
+    assert {"center", "border", "sizes"} <= set(data.files)
