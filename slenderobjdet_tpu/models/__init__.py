@@ -31,6 +31,10 @@ META_ARCH_REGISTRY.register(FCOS, name="FCOSV2")
 META_ARCH_REGISTRY.register(FCOS, name="FCOSWithAnchor")
 META_ARCH_REGISTRY.register(FCOSTopK, name="FCOSTopK")
 META_ARCH_REGISTRY.register(FCOSV3, name="FCOSV3")
+# GroupNet (group/groupnet.py:23-384, not imported upstream) is FCOS with a
+# "GroupHead" that is line-for-line the FCOSHead (it even constructs via
+# super(FCOSHead, ...)); one implementation serves both names.
+META_ARCH_REGISTRY.register(FCOS, name="GroupNet")
 
 from .meta_arch.fcos_anchor import FCOSAnchor  # noqa: E402
 

@@ -141,14 +141,94 @@ class PVT(nn.Module):
         return outputs
 
 
+class PVTv2Block(nn.Module):
+    """PVTv2 block: SRA attention + MLP with a 3x3 depthwise conv
+    (reference `slender_det/modeling/backbone/pvt_v2.py:211-397`)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: int
+    sr_ratio: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, hw):
+        H, W = hw
+        B = x.shape[0]
+
+        def ln(name):
+            return nn.LayerNorm(dtype=jnp.float32, name=name)
+
+        h = ln("norm1")(x.astype(jnp.float32)).astype(self.dtype)
+        x = x + SRAttention(self.dim, self.num_heads, self.sr_ratio,
+                            dtype=self.dtype, name="attn")(h, hw)
+        h = ln("norm2")(x.astype(jnp.float32)).astype(self.dtype)
+        h = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc1")(h)
+        # depthwise 3x3 between the MLP layers (the v2 addition)
+        hh = h.reshape(B, H, W, -1)
+        hh = nn.Conv(hh.shape[-1], (3, 3), padding=1,
+                     feature_group_count=hh.shape[-1], dtype=self.dtype,
+                     param_dtype=jnp.float32, name="dwconv")(hh)
+        h = hh.reshape(B, H * W, -1)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc2")(h)
+        return x + h
+
+
+class PVTv2(nn.Module):
+    """PVTv2: overlapping patch embeds (7/4 then 3/2) + DWConv MLP blocks;
+    no absolute position embeddings (the dwconv provides positions)."""
+
+    depths: Sequence[int] = PVT_DEPTHS["small"]
+    dims: Sequence[int] = PVT_DIMS
+    num_heads: Sequence[int] = PVT_HEADS
+    mlp_ratios: Sequence[int] = PVT_MLP_RATIOS
+    sr_ratios: Sequence[int] = PVT_SR_RATIOS
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        outputs = {}
+        B = x.shape[0]
+        for stage in range(4):
+            dim = self.dims[stage]
+            if stage == 0:
+                x = nn.Conv(dim, (7, 7), (4, 4), padding=3, dtype=self.dtype,
+                            param_dtype=jnp.float32,
+                            name=f"patch_embed{stage + 1}")(x)
+            else:
+                x = nn.Conv(dim, (3, 3), (2, 2), padding=1, dtype=self.dtype,
+                            param_dtype=jnp.float32,
+                            name=f"patch_embed{stage + 1}")(x)
+            Bh, H, W, _ = x.shape
+            x = x.reshape(B, H * W, dim)
+            x = nn.LayerNorm(dtype=jnp.float32,
+                             name=f"embed_norm{stage + 1}")(
+                x.astype(jnp.float32)).astype(self.dtype)
+            for blk in range(self.depths[stage]):
+                x = PVTv2Block(dim, self.num_heads[stage],
+                               self.mlp_ratios[stage], self.sr_ratios[stage],
+                               dtype=self.dtype,
+                               name=f"stage{stage + 1}_block{blk}")(x, (H, W))
+            x = nn.LayerNorm(dtype=jnp.float32,
+                             name=f"stage_norm{stage + 1}")(
+                x.astype(jnp.float32)).astype(self.dtype)
+            x = x.reshape(B, H, W, dim)
+            outputs[f"pvt{stage + 1}"] = x
+        return outputs
+
+
 PVT_STRIDES = {"pvt1": 4, "pvt2": 8, "pvt3": 16, "pvt4": 32}
 
 
-def build_pvt_backbone_spec(cfg, dtype=jnp.float32):
+def build_pvt_backbone_spec(cfg, dtype=jnp.float32, v2: bool = False):
     from .fpn import BackboneSpec
 
     depth = cfg.MODEL.PVT.DEPTH
-    module = PVT(depths=PVT_DEPTHS[depth], dtype=dtype)
+    cls = PVTv2 if v2 else PVT
+    module = cls(depths=PVT_DEPTHS[depth], dtype=dtype)
     out = tuple(cfg.MODEL.PVT.OUT_FEATURES)
     return BackboneSpec(
         module,

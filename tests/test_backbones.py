@@ -47,3 +47,15 @@ def test_backbone_shapes(name):
         assert f.shape == (1, 128 // stride, 128 // stride, channels), (
             name, fname, f.shape, stride, channels)
         assert np.isfinite(np.asarray(f)).all()
+
+
+def test_pvtv2_shapes():
+    from slenderobjdet_tpu.models.backbones.pvt import PVT_DEPTHS, PVTv2
+
+    m = PVTv2(depths=PVT_DEPTHS["tiny"], dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    feats = m.apply(v, x)
+    assert feats["pvt1"].shape == (1, 16, 16, 64)
+    assert feats["pvt4"].shape == (1, 2, 2, 512)
+    assert np.isfinite(np.asarray(feats["pvt4"])).all()

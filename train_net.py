@@ -47,7 +47,15 @@ def main(args):
     if os.environ.get("JAX_COORDINATOR"):
         import jax
 
-        jax.distributed.initialize()
+        addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        if addr:
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+                process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+            )
+        else:  # Cloud TPU pod: auto-discovery
+            jax.distributed.initialize()
 
     cfg = setup(args)
 
