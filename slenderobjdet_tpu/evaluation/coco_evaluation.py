@@ -142,3 +142,42 @@ class COCOEvaluator:
                     {k: v for k, v in results.items()}, f, default=float
                 )
         return results
+
+
+class COCOEvaluatorWithAnchors(COCOEvaluator):
+    """COCOEvaluator that also stores each image's proposals (with scores)
+    for anchor/proposal diagnosis — the counterpart of the reference's
+    `COCOEvaluatorWithAnchors` (coco_evaluation_with_anchors.py:28-159),
+    which dumps box_proposals.pkl for tools like ar_result.py."""
+
+    def reset(self):
+        super().reset()
+        self._proposals = []
+
+    def process(self, batch, outputs):
+        super().process(batch, outputs)
+        if "proposals" not in outputs:
+            return
+        props = np.asarray(outputs["proposals"])
+        scores = np.asarray(outputs.get("proposal_scores"))
+        valid = np.asarray(outputs.get("proposal_valid"))
+        batch_valid = batch.get("batch_valid", [True] * len(batch["image_id"]))
+        for i, image_id in enumerate(batch["image_id"]):
+            if not batch_valid[i]:
+                continue
+            m = valid[i] if valid is not None else np.ones(len(props[i]), bool)
+            self._proposals.append({
+                "image_id": int(image_id),
+                "proposals": props[i][m],
+                "scores": scores[i][m] if scores is not None else None,
+            })
+
+    def evaluate(self):
+        results = super().evaluate()
+        if self._output_dir and self._proposals:
+            import pickle
+
+            with open(os.path.join(self._output_dir, "box_proposals.pkl"),
+                      "wb") as f:
+                pickle.dump(self._proposals, f)
+        return results
