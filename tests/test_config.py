@@ -72,3 +72,23 @@ def test_eval_tag_anchor_sizes():
     assert len(sizes) == 5 and len(sizes[0]) == 3
     assert abs(sizes[0][0] - 32.0) < 1e-6
     assert cfg.MODEL.META_ARCHITECTURE == "RetinaNet"
+
+
+def test_own_configs_build_models():
+    """Every YAML under this repo's configs/ must merge AND build its model."""
+    import glob
+
+    from slenderobjdet_tpu.models import build_model
+
+    repo_cfgs = glob.glob(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "**", "*.yaml"),
+        recursive=True,
+    )
+    assert len(repo_cfgs) >= 20
+    for f in repo_cfgs:
+        cfg = get_cfg()
+        cfg.merge_from_file(f)
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        cfg.freeze()
+        det = build_model(cfg)  # construction only (no init: keep it fast)
+        assert hasattr(det, "loss") and hasattr(det, "predict"), f
