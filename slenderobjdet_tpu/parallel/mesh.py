@@ -58,3 +58,31 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def channel_sharded_params(params: Any, mesh: Mesh,
+                           min_channels: int = 256) -> Any:
+    """Place parameters with their output-channel dimension sharded over the
+    'model' mesh axis (tensor parallelism for wide convs/denses); everything
+    else replicated.
+
+    Rule: conv kernels (h, w, cin, cout) and dense kernels (cin, cout) shard
+    their LAST axis over 'model' when it's divisible by the axis size and at
+    least `min_channels` (narrow outputs like 4-channel box heads stay
+    replicated). GSPMD then partitions the matmuls and inserts the
+    all-gathers/reduce-scatters — the manual Megatron plumbing of GPU
+    frameworks has no user-code counterpart here.
+    """
+    model = mesh.shape["model"]
+    repl = replicated(mesh)
+    if model == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)
+
+    def place(x):
+        if (x.ndim in (2, 4) and x.shape[-1] >= min_channels
+                and x.shape[-1] % model == 0):
+            spec = P(*([None] * (x.ndim - 1)), "model")
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(place, params)
