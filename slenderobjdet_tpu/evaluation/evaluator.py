@@ -28,6 +28,11 @@ def inference_on_dataset(
     total_compute_time = 0.0
     total_images = 0
     idx = -1
+    batches = list(data_loader) if hasattr(data_loader, "__next__") else data_loader
+    if hasattr(batches, "__len__"):
+        # don't let warmup swallow the whole (small) dataset
+        warmup = min(warmup, max(len(batches) - 1, 0))
+    data_loader = batches
     for idx, batch in enumerate(data_loader):
         t0 = time.perf_counter()
         outputs = predict_fn(batch)
