@@ -227,6 +227,7 @@ class FCOS:
         self.pre_nms_top_n = f.PRE_NMS_TOP_N
         self.nms_thresh = f.NMS_TH
         self.max_dets = cfg.TEST.DETECTIONS_PER_IMAGE
+        self.approx_topk = cfg.TPU.APPROX_TOPK
         # FCOSTopK: restrict the REG loss to the top-k positives per gt by
         # centerness (reference fcos_topk.py:39-91,222-227); None = all
         self.topk_per_gt = None
@@ -370,6 +371,7 @@ class FCOS:
             b, s, c, v = _fcos_level_candidates(
                 logits_l[lvl], reg_l[lvl], ctr_l[lvl], locs,
                 self.pre_nms_thresh, self.pre_nms_top_n,
+                approx=self.approx_topk,
             )
             cand_boxes.append(b)
             cand_scores.append(s)
@@ -402,7 +404,8 @@ class FCOS:
         }
 
 
-def _fcos_level_candidates(logits, reg, ctr, locations, pre_nms_thresh, pre_nms_top_n):
+def _fcos_level_candidates(logits, reg, ctr, locations, pre_nms_thresh,
+                           pre_nms_top_n, approx=True):
     """Fixed-shape per-level candidate selection (reference
     fcos.py:389-470 rewritten without data-dependent shapes).
 
@@ -418,7 +421,9 @@ def _fcos_level_candidates(logits, reg, ctr, locations, pre_nms_thresh, pre_nms_
 
     flat_rank = jnp.where(candidate, ranked, 0.0).reshape(bsz, L * C)
     k = min(pre_nms_top_n, L * C)
-    top_scores, top_idx = jax.lax.top_k(flat_rank, k)   # (B, K)
+    from ...ops.topk import fast_top_k
+
+    top_scores, top_idx = fast_top_k(flat_rank, k, approx=approx)   # (B, K)
 
     loc_idx = top_idx // C
     cls_idx = (top_idx % C).astype(jnp.int32)

@@ -278,6 +278,7 @@ class RepPointsDetector:
         self.transform_method = rp.TRANSFORM_METHOD
         self.iou_thresholds = list(rn.IOU_THRESHOLDS)
         self.iou_labels = list(rn.IOU_LABELS)
+        self.approx_topk = cfg.TPU.APPROX_TOPK
 
         spec = build_backbone(cfg, dtype=dtype)
         self.backbone_spec = spec
@@ -421,7 +422,9 @@ class RepPointsDetector:
             bsz, L, C = logits.shape
             scores = jax.nn.sigmoid(logits).reshape(bsz, L * C)
             k = min(self.topk_candidates, L * C)
-            top_scores, top_idx = jax.lax.top_k(scores, k)
+            from ...ops.topk import fast_top_k
+
+            top_scores, top_idx = fast_top_k(scores, k, approx=self.approx_topk)
             loc_idx = top_idx // C
             cls_idx = (top_idx % C).astype(jnp.int32)
             sel_boxes = jnp.take_along_axis(boxes, loc_idx[..., None], axis=1)

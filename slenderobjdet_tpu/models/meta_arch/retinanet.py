@@ -149,6 +149,7 @@ class RetinaNet:
         self.topk_candidates = r.TOPK_CANDIDATES_TEST
         self.nms_thresh = r.NMS_THRESH_TEST
         self.max_dets = cfg.TEST.DETECTIONS_PER_IMAGE
+        self.approx_topk = cfg.TPU.APPROX_TOPK
 
         spec = build_backbone(cfg, dtype=dtype)
         self.backbone_spec = spec
@@ -301,6 +302,7 @@ class RetinaNet:
             b, s, c, v = _retina_level_candidates(
                 logits_l[lvl], regs_l[lvl], lvl_anchors,
                 self.score_thresh, self.topk_candidates, self.box_reg_weights,
+                approx=self.approx_topk,
             )
             cb.append(b); cs.append(s); cc.append(c); cv.append(v)
 
@@ -349,14 +351,17 @@ class NearestRetinaNet(RetinaNet):
         super().__init__(cfg, assign_mode="nearest")
 
 
-def _retina_level_candidates(logits, regs, anchors, score_thresh, topk, weights):
+def _retina_level_candidates(logits, regs, anchors, score_thresh, topk,
+                             weights, approx=True):
     """d2 RetinaNet inference_single_image per level, fixed-shape: flatten
     (N*C) scores, top-k, then threshold mask (threshold AFTER topk, matching
     retinanetwa.py:112-124)."""
     bsz, N, C = logits.shape
     scores = jax.nn.sigmoid(logits).reshape(bsz, N * C)
     k = min(topk, N * C)
-    top_scores, top_idx = jax.lax.top_k(scores, k)
+    from ...ops.topk import fast_top_k
+
+    top_scores, top_idx = fast_top_k(scores, k, approx=approx)
     valid = top_scores > score_thresh
 
     anchor_idx = top_idx // C
