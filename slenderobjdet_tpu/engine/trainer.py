@@ -155,6 +155,8 @@ class BaseTrainer:
                 "scale": jnp.asarray(batch["scale"]),
                 "orig_size": jnp.asarray(batch["orig_size"]),
             }
+            if "image_size" in batch:  # RCNN clips proposals to the
+                dev["image_size"] = jnp.asarray(batch["image_size"])  # valid region
             return predict(variables, dev)
 
         all_results = {}
