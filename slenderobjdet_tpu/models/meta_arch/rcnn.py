@@ -42,9 +42,9 @@ class RCNNModule(nn.Module):
         feats = self.backbone(x)
         rpn_feats = [feats[f] for f in self.rpn_in_features]
         logits_l, deltas_l = self.rpn_head(rpn_feats)
-        roi_feats = tuple(
-            feats[f].astype(jnp.float32) for f in self.roi_in_features
-        )
+        # keep ROI features in the compute dtype: fp32 here doubled the
+        # (already large) bilinear-gather transients of RoIAlign
+        roi_feats = tuple(feats[f] for f in self.roi_in_features)
         return logits_l, deltas_l, roi_feats
 
 

@@ -151,7 +151,12 @@ class StandardROIHeads:
         )
 
     def pool(self, feats_per_image: List[jnp.ndarray], rois: jnp.ndarray):
-        """feats: list of (H,W,C) for ONE image; rois (R,4)."""
+        """feats: list of (H,W,C) for ONE image; rois (R,4).
+
+        Memory note: the bilinear gather materializes 4 tap tensors of
+        (chunk, P*S*P*S, C) per level; ops.roi_align chunks the rois via
+        lax.map so the transient stays bounded (unchunked, batch 8 x 512
+        rois x 4 levels exceeded HBM)."""
         return multilevel_roi_align(
             feats_per_image, self.strides, rois,
             output_size=self.pooler_resolution,

@@ -57,8 +57,34 @@ def roi_align(
     spatial_scale: float,
     output_size: int = 7,
     sampling_ratio: int = 2,
+    roi_chunk: int = 128,
 ) -> jnp.ndarray:
-    """-> (N, output_size, output_size, C)."""
+    """-> (N, output_size, output_size, C).
+
+    Rois are processed in fixed chunks via lax.map: the bilinear gather
+    materializes 4 tap tensors of (chunk, P*S*P*S, C); chunking keeps that
+    transient bounded (~100MB) instead of O(N) (512 rois x 4 levels
+    concurrently scheduled by XLA blew past HBM at batch 8)."""
+    n = rois.shape[0]
+    if n > roi_chunk and n % roi_chunk == 0:
+        chunks = rois.reshape(n // roi_chunk, roi_chunk, 4)
+        out = jax.lax.map(
+            lambda r: _roi_align_impl(feat, r, spatial_scale, output_size,
+                                      sampling_ratio),
+            chunks,
+        )
+        return out.reshape(n, output_size, output_size, feat.shape[-1])
+    return _roi_align_impl(feat, rois, spatial_scale, output_size,
+                           sampling_ratio)
+
+
+def _roi_align_impl(
+    feat: jnp.ndarray,
+    rois: jnp.ndarray,
+    spatial_scale: float,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
     rois = rois * spatial_scale
     # aligned=True: half-pixel correction
     x1 = rois[:, 0] - 0.5
