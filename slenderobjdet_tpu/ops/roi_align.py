@@ -66,14 +66,17 @@ def roi_align(
     transient bounded (~100MB) instead of O(N) (512 rois x 4 levels
     concurrently scheduled by XLA blew past HBM at batch 8)."""
     n = rois.shape[0]
-    if n > roi_chunk and n % roi_chunk == 0:
-        chunks = rois.reshape(n // roi_chunk, roi_chunk, 4)
+    if n > roi_chunk:
+        pad = (-n) % roi_chunk
+        padded = jnp.pad(rois, ((0, pad), (0, 0)))
+        chunks = padded.reshape((n + pad) // roi_chunk, roi_chunk, 4)
         out = jax.lax.map(
             lambda r: _roi_align_impl(feat, r, spatial_scale, output_size,
                                       sampling_ratio),
             chunks,
         )
-        return out.reshape(n, output_size, output_size, feat.shape[-1])
+        out = out.reshape(n + pad, output_size, output_size, feat.shape[-1])
+        return out[:n]
     return _roi_align_impl(feat, rois, spatial_scale, output_size,
                            sampling_ratio)
 
