@@ -67,7 +67,14 @@ def tta_predict(
             ex = mapper(dict(dataset_dict))
             img = ex["image"]
             if flip:
-                img = np.ascontiguousarray(img[:, ::-1])
+                # Flip only the VALID resized region, not the padded canvas:
+                # content stays at x in [0, rw], so detector.predict's clip to
+                # the original extent is correct and un-mirroring is a pure
+                # reflection about orig_w (no padding offset involved).
+                rw = int(ex["image_size"][1])
+                img = img.copy()
+                img[:, :rw] = img[:, :rw][:, ::-1]
+                img = np.ascontiguousarray(img)
             batch = {
                 "image": jnp.asarray(img[None]),
                 "scale": jnp.asarray([ex["scale"]], jnp.float32),
@@ -89,13 +96,13 @@ def tta_predict(
             classes = np.asarray(out["classes"][0])[valid]
             if flip and len(boxes):
                 orig_w = float(ex["orig_size"][1])
-                # flipped view: un-mirror the x coordinates. The padded-flip
-                # offset: the valid region width in orig coords is orig_w
+                # exact reflection axis: the valid resized width mapped back
+                # to original coordinates (differs from orig_w by <=1px of
+                # resize rounding)
+                mirror_w = float(ex["image_size"][1]) / float(ex["scale"])
                 x1 = boxes[:, 0].copy()
-                pad_w_orig = img.shape[1] / ex["scale"]
-                boxes[:, 0] = pad_w_orig - boxes[:, 2]
-                boxes[:, 2] = pad_w_orig - x1
-                # clip back into the true image
+                boxes[:, 0] = mirror_w - boxes[:, 2]
+                boxes[:, 2] = mirror_w - x1
                 boxes[:, 0::2] = boxes[:, 0::2].clip(0, orig_w)
             all_boxes.append(boxes)
             all_scores.append(scores)

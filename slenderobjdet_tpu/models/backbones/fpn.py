@@ -21,6 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...utils.registry import Registry
+from ..layers import get_norm
 from .resnet import RESNET_STRIDES, resnet_from_cfg, resnet_output_channels
 
 BACKBONE_REGISTRY = Registry("BACKBONE")
@@ -62,6 +63,10 @@ class FPN(nn.Module):
             lat = nn.Conv(self.out_channels, (1, 1), use_bias=(self.norm == ""),
                           dtype=self.dtype, param_dtype=jnp.float32,
                           name=f"fpn_lateral{idx}")(feat)
+            if self.norm:
+                # d2 FPN wraps lateral/output convs in Conv2d(norm=get_norm)
+                lat = get_norm(self.norm, self.out_channels, dtype=self.dtype,
+                               name=f"fpn_lateral{idx}_norm")(lat)
             laterals.append(lat)
 
         merged = [None] * len(laterals)
@@ -80,6 +85,9 @@ class FPN(nn.Module):
             out = nn.Conv(self.out_channels, (3, 3), padding=1,
                           use_bias=(self.norm == ""), dtype=self.dtype,
                           param_dtype=jnp.float32, name=f"fpn_output{idx}")(m)
+            if self.norm:
+                out = get_norm(self.norm, self.out_channels, dtype=self.dtype,
+                               name=f"fpn_output{idx}_norm")(out)
             name = f"p{start_stage + idx}"
             outputs[name] = out
             names.append(name)

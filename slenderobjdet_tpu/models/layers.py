@@ -69,17 +69,18 @@ class GroupNorm32(nn.Module):
         )(x.astype(jnp.float32)).astype(x.dtype)
 
 
-def get_norm(norm: str, features: int, dtype: Dtype = jnp.float32) -> Optional[nn.Module]:
+def get_norm(norm: str, features: int, dtype: Dtype = jnp.float32,
+             name: Optional[str] = None) -> Optional[nn.Module]:
     if norm == "" or norm is None:
         return None
     if norm == "FrozenBN":
-        return FrozenBatchNorm(features=features, dtype=dtype)
+        return FrozenBatchNorm(features=features, dtype=dtype, name=name)
     if norm in ("GN",):
-        return GroupNorm32(features=features, dtype=dtype)
+        return GroupNorm32(features=features, dtype=dtype, name=name)
     if norm in ("BN", "SyncBN"):
         # Plain BN is rarely used in the reference's detector configs (FrozenBN
         # or GN everywhere). Map BN→FrozenBN for inference-compatible behavior.
-        return FrozenBatchNorm(features=features, dtype=dtype)
+        return FrozenBatchNorm(features=features, dtype=dtype, name=name)
     raise ValueError(f"Unknown norm {norm!r}")
 
 

@@ -55,10 +55,13 @@ def _param_labels(params, is_norm_or_bias) -> Any:
         keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
         name = keys[-1] if keys else ""
         parent = keys[-2] if len(keys) >= 2 else ""
-        if "gn" in parent.lower() or "groupnorm" in parent.lower() or name == "scale":
-            return "norm"
+        # d2 order (solver/build.py get_default_optimizer_params): the
+        # module_param_name == "bias" check runs AFTER the norm-module check
+        # and overrides it, so norm biases land in the bias group.
         if name == "bias":
             return "bias"
+        if "gn" in parent.lower() or "groupnorm" in parent.lower() or name == "scale":
+            return "norm"
         return "regular"
 
     return jax.tree_util.tree_map_with_path(label, params)
@@ -129,6 +132,22 @@ def build_optimizer(cfg, params) -> optax.GradientTransformation:
         chain.append(optax.scale_by_learning_rate(sched))
     else:
         raise ValueError(f"Unknown SOLVER.OPTIM {cfg.SOLVER.OPTIM!r}")
+
+    # d2 per-group LR: bias params use BASE_LR * BIAS_LR_FACTOR. The LR
+    # multiplies the final update in every optimizer above, so scaling the
+    # bias group's update is exactly the per-group LR.
+    bias_lr_factor = float(getattr(cfg.SOLVER, "BIAS_LR_FACTOR", 1.0))
+    if bias_lr_factor != 1.0:
+        chain.append(
+            optax.multi_transform(
+                {
+                    "bias": optax.scale(bias_lr_factor),
+                    "norm": optax.identity(),
+                    "regular": optax.identity(),
+                },
+                labels,
+            )
+        )
 
     tx = optax.chain(*chain)
 

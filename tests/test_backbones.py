@@ -59,3 +59,20 @@ def test_pvtv2_shapes():
     assert feats["pvt1"].shape == (1, 16, 16, 64)
     assert feats["pvt4"].shape == (1, 2, 2, 512)
     assert np.isfinite(np.asarray(feats["pvt4"])).all()
+
+
+def test_fpn_gn_norm_applied():
+    """cfg.MODEL.FPN.NORM='GN' must insert GroupNorm after lateral/output
+    convs (d2 FPN semantics; rep-points configs rely on it)."""
+    cfg = _cfg("build_retinanet_resnet_fpn_backbone_use_p5")
+    cfg.MODEL.FPN.NORM = "GN"
+    spec = build_backbone(cfg, dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(spec.module.init)(jax.random.PRNGKey(0), x)
+    params = variables["params"]
+    assert "fpn_lateral0_norm" in params, sorted(params)
+    assert "fpn_output0_norm" in params, sorted(params)
+    # norm replaces conv bias
+    assert "bias" not in params["fpn_lateral0"]
+    feats = spec.module.apply(variables, x)
+    assert np.isfinite(np.asarray(feats["p3"])).all()

@@ -168,3 +168,40 @@ def test_d2_r50_pkl_end_to_end(tmp_path):
         "orig_size": jnp.asarray([[64.0, 64.0]]),
     })
     assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+def test_bias_lr_factor_scales_bias_updates(tiny_cfg, tiny_fcos):
+    """SOLVER.BIAS_LR_FACTOR must scale the bias group's update (d2 per-group
+    LR parity, reference solver/build.py group construction)."""
+    import jax
+    import jax.numpy as jnp
+
+    det, variables = tiny_fcos
+    params = variables["params"]
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+
+    def one_update(factor):
+        cfg = tiny_cfg.clone()
+        cfg.defrost()
+        cfg.SOLVER.BIAS_LR_FACTOR = factor
+        cfg.SOLVER.WARMUP_ITERS = 0
+        cfg.MODEL.BACKBONE.FREEZE_AT = 0
+        cfg.freeze()
+        tx = build_optimizer(cfg, params)
+        updates, _ = tx.update(grads, tx.init(params), params)
+        return updates
+
+    u1 = one_update(1.0)
+    u2 = one_update(2.0)
+    flat1 = jax.tree_util.tree_flatten_with_path(u1)[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(u2)[0]
+    checked_bias = checked_kernel = False
+    for (path1, leaf1), (path2, leaf2) in zip(flat1, flat2):
+        name = str(path1[-1])
+        if "bias" in name:
+            assert jnp.allclose(leaf2, leaf1 * 2.0, rtol=1e-6), path1
+            checked_bias = True
+        elif "kernel" in name:
+            assert jnp.allclose(leaf2, leaf1, rtol=1e-6), path1
+            checked_kernel = True
+    assert checked_bias and checked_kernel

@@ -170,3 +170,61 @@ def test_generate_border_maps(artifacts):
     assert files
     data = np.load(os.path.join(out_dir, files[0]))
     assert {"center", "border", "sizes"} <= set(data.files)
+
+
+def test_tta_flip_geometry():
+    """The flipped TTA view must map detections back to the SAME original
+    coordinates as the unflipped view, even when the canvas is padded
+    (regression: flipping the padded canvas + predict's orig-extent clip
+    truncated left-side objects)."""
+    import jax.numpy as jnp
+
+    from conftest import make_tiny_cfg
+    from slenderobjdet_tpu.engine.tta import tta_predict
+
+    class SquareFinder:
+        """Fake detector: 'detects' the bright square in canvas coords, then
+        maps back by /scale and clips to the original extent exactly like the
+        real predict does."""
+
+        def predict(self, variables, batch):
+            img = batch["image"][0].astype(jnp.float32).mean(-1)
+            mask = img > 100
+            xs = jnp.arange(img.shape[1], dtype=jnp.float32)
+            ys = jnp.arange(img.shape[0], dtype=jnp.float32)
+            colhit, rowhit = mask.any(0), mask.any(1)
+            x1 = jnp.min(jnp.where(colhit, xs, 1e9))
+            x2 = jnp.max(jnp.where(colhit, xs, -1e9)) + 1
+            y1 = jnp.min(jnp.where(rowhit, ys, 1e9))
+            y2 = jnp.max(jnp.where(rowhit, ys, -1e9)) + 1
+            boxes = jnp.stack([x1, y1, x2, y2]) / batch["scale"][0]
+            oh, ow = batch["orig_size"][0, 0], batch["orig_size"][0, 1]
+            boxes = jnp.stack([
+                jnp.clip(boxes[0], 0, ow), jnp.clip(boxes[1], 0, oh),
+                jnp.clip(boxes[2], 0, ow), jnp.clip(boxes[3], 0, oh)])
+            return {
+                "boxes": boxes[None, None],
+                "scores": jnp.ones((1, 1), jnp.float32),
+                "classes": jnp.zeros((1, 1), jnp.int32),
+                "valid": jnp.ones((1, 1), bool),
+            }
+
+    cfg = make_tiny_cfg()
+    cfg.TEST.AUG.ENABLED = True
+    cfg.TEST.AUG.MIN_SIZES = (48,)
+    cfg.TEST.AUG.MAX_SIZE = 128
+    cfg.TEST.AUG.FLIP = True
+    cfg.MODEL.RETINANET.NMS_THRESH_TEST = 0.5
+    cfg.freeze()
+
+    # white square near the LEFT edge (the case the old code truncated)
+    img = np.zeros((60, 80, 3), np.uint8)
+    img[20:40, 5:25] = 255
+    dataset_dict = {"image": img, "image_id": 1, "annotations": []}
+    out = tta_predict(SquareFinder(), None, dataset_dict, cfg, predict_fns={})
+    # both views survive NMS into one cluster; every surviving box must sit on
+    # the true square within resize-rounding tolerance
+    assert len(out["boxes"]) >= 1
+    expected = np.array([5, 20, 25, 40], np.float32)
+    for b in out["boxes"]:
+        assert np.abs(b - expected).max() < 3.0, (b, expected)
