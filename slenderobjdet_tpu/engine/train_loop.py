@@ -59,8 +59,16 @@ def make_train_step(
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        buffers = state.buffers
+        # detector-level running statistics (RepPoints EMA loss normalizer,
+        # reference rpd.py:121-122,385-388) write back into the buffers
+        if (isinstance(buffers, dict) and "loss_normalizer" in buffers
+                and "loss_normalizer" in metrics):
+            buffers = {**buffers,
+                       "loss_normalizer": metrics["loss_normalizer"]}
         new_state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state
+            step=state.step + 1, params=params, opt_state=opt_state,
+            buffers=buffers,
         )
         metrics = dict(metrics)
         metrics["total_loss"] = total

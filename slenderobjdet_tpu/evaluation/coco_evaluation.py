@@ -145,10 +145,13 @@ class COCOEvaluator:
 
 
 class COCOEvaluatorWithAnchors(COCOEvaluator):
-    """COCOEvaluator that also stores each image's proposals (with scores)
-    for anchor/proposal diagnosis — the counterpart of the reference's
-    `COCOEvaluatorWithAnchors` (coco_evaluation_with_anchors.py:28-159),
-    which dumps box_proposals.pkl for tools like ar_result.py."""
+    """COCOEvaluator that also stores each image's proposals WITH their
+    source anchors for anchor/proposal diagnosis — the counterpart of the
+    reference's `COCOEvaluatorWithAnchors`
+    (coco_evaluation_with_anchors.py:28-159): dumps `box_proposals.pkl`
+    with keys boxes/anchors/objectness_logits/ids (:36-53) and attaches the
+    per-detection "anchor" field to the instance json
+    (instances_to_coco_json_with_anchor, :113-117, XYWH like bbox)."""
 
     def reset(self):
         super().reset()
@@ -156,12 +159,36 @@ class COCOEvaluatorWithAnchors(COCOEvaluator):
 
     def process(self, batch, outputs):
         super().process(batch, outputs)
+        batch_valid = batch.get("batch_valid", [True] * len(batch["image_id"]))
+
+        # per-detection anchors -> instance json "anchor" field (XYWH)
+        if "anchors" in outputs:
+            det_anchors = np.asarray(outputs["anchors"])
+            det_valid = np.asarray(outputs["valid"])
+            preds = self._predictions[-int(np.sum(batch_valid)):]
+            pi = 0
+            for i in range(len(batch["image_id"])):
+                if not batch_valid[i]:
+                    continue
+                pred = preds[pi]
+                pi += 1
+                rows = [j for j in range(det_anchors.shape[1]) if det_valid[i, j]]
+                # process() sorted instances by score; recover that order
+                order = np.argsort(
+                    [-float(np.asarray(outputs["scores"])[i, j]) for j in rows],
+                    kind="stable",
+                )
+                for inst, oj in zip(pred["instances"], order):
+                    x1, y1, x2, y2 = det_anchors[i, rows[oj]].tolist()
+                    inst["anchor"] = [x1, y1, x2 - x1, y2 - y1]
+
         if "proposals" not in outputs:
             return
         props = np.asarray(outputs["proposals"])
         scores = np.asarray(outputs.get("proposal_scores"))
         valid = np.asarray(outputs.get("proposal_valid"))
-        batch_valid = batch.get("batch_valid", [True] * len(batch["image_id"]))
+        anchors = outputs.get("proposal_anchors")
+        anchors = np.asarray(anchors) if anchors is not None else None
         for i, image_id in enumerate(batch["image_id"]):
             if not batch_valid[i]:
                 continue
@@ -169,6 +196,7 @@ class COCOEvaluatorWithAnchors(COCOEvaluator):
             self._proposals.append({
                 "image_id": int(image_id),
                 "proposals": props[i][m],
+                "anchors": anchors[i][m] if anchors is not None else None,
                 "scores": scores[i][m] if scores is not None else None,
             })
 
@@ -177,7 +205,15 @@ class COCOEvaluatorWithAnchors(COCOEvaluator):
         if self._output_dir and self._proposals:
             import pickle
 
+            # reference pkl schema (coco_evaluation_with_anchors.py:45-51)
+            proposal_data = {
+                "boxes": [p["proposals"] for p in self._proposals],
+                "anchors": [p["anchors"] for p in self._proposals],
+                "objectness_logits": [p["scores"] for p in self._proposals],
+                "ids": [p["image_id"] for p in self._proposals],
+                "bbox_mode": "XYXY_ABS",
+            }
             with open(os.path.join(self._output_dir, "box_proposals.pkl"),
                       "wb") as f:
-                pickle.dump(self._proposals, f)
+                pickle.dump(proposal_data, f)
         return results

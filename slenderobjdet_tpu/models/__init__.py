@@ -26,9 +26,17 @@ META_ARCH_REGISTRY.register(FCOS, name="FCOS")
 # topk-then-NMS inference (fcosv2.py:104-249) — exactly the structure this
 # implementation already uses, so they share one class.
 META_ARCH_REGISTRY.register(FCOS, name="FCOSV2")
-# diagnosis variant attaching implicit anchors to outputs (fcoswa.py:17-106);
-# location boxes are reconstructable host-side from the static grid
-META_ARCH_REGISTRY.register(FCOS, name="FCOSWithAnchor")
+
+
+def _fcos_with_anchor(cfg):
+    """Diagnosis variant attaching each detection's implicit anchor — the
+    source location as an (x,y,x,y) box — to outputs (fcoswa.py:68-76)."""
+    det = FCOS(cfg)
+    det.with_anchor = True
+    return det
+
+
+META_ARCH_REGISTRY.register(_fcos_with_anchor, name="FCOSWithAnchor")
 META_ARCH_REGISTRY.register(FCOSTopK, name="FCOSTopK")
 META_ARCH_REGISTRY.register(FCOSV3, name="FCOSV3")
 # GroupNet (group/groupnet.py:23-384, not imported upstream) is FCOS with a
@@ -50,19 +58,25 @@ PROPOSAL_GENERATOR_REGISTRY.register(RPN, name="RPN")
 PROPOSAL_GENERATOR_REGISTRY.register(RPN, name="RPNWNM")
 PROPOSAL_GENERATOR_REGISTRY.register(RPN, name="RPNWithAnchor")
 META_ARCH_REGISTRY.register(RetinaNet, name="RetinaNet")
-# diagnosis variant that carries matched anchors through to outputs
-# (reference retinanetwa.py); anchors are reattachable host-side from the
-# fixed anchor grid, so the TPU build shares one implementation
-META_ARCH_REGISTRY.register(RetinaNet, name="RetinaNetWithAnchor")
+# diagnosis variant carrying each detection's matched anchor through
+# topk/NMS into outputs (reference retinanetwa.py:88-154)
+META_ARCH_REGISTRY.register(
+    lambda cfg: RetinaNet(cfg, with_anchor=True), name="RetinaNetWithAnchor"
+)
 META_ARCH_REGISTRY.register(DeformableConvRetinaNet, name="DeformableConvRetinaNet")
 from .meta_arch.retinanet import CenternessRetinaNet, NearestRetinaNet  # noqa: E402
 META_ARCH_REGISTRY.register(CenternessRetinaNet, name="CenternessRetinaNet")
 META_ARCH_REGISTRY.register(NearestRetinaNet, name="NearestRetinaNet")
 META_ARCH_REGISTRY.register(ProposalVisibleRCNN, name="ProposalVisibleRCNN")
 META_ARCH_REGISTRY.register(ProposalVisibleRCNN, name="GeneralizedRCNN")
-# WithAnchor variant keeps (anchor, proposal) pairs; proposals are already
-# returned by predict(), anchors reconstructable from the static grid
-META_ARCH_REGISTRY.register(ProposalVisibleRCNN, name="ProposalVisibleRCNNWithAnchor")
+# WithAnchor variant: RPN keeps each proposal's source anchor through
+# topk/NMS (find_top_rpn_proposals_anchors, proposal_utils.py:11-130) and
+# the ROI heads thread (anchor, proposal) pairs into final detections
+# (FastRCNNOutputLayersWithAnchor, fast_rcnn.py:109-115)
+META_ARCH_REGISTRY.register(
+    lambda cfg: ProposalVisibleRCNN(cfg, with_anchor=True),
+    name="ProposalVisibleRCNNWithAnchor",
+)
 META_ARCH_REGISTRY.register(RepPointsDetector, name="RepPointsDetector")
 META_ARCH_REGISTRY.register(AblationMetaArch, name="AblationMetaArch")
 
@@ -73,6 +87,7 @@ from .meta_arch.hybrids import (  # noqa: E402
     PointRetinaNet,
     RepPointsCenterness,
     RepPointsV2,
+    ReppointsRetinaNet,
 )
 
 META_ARCH_REGISTRY.register(RepPointsCenterness, name="RepPointsCenterness")
@@ -81,9 +96,7 @@ META_ARCH_REGISTRY.register(FCOSRetinaNet, name="FCOSRetinaNet")
 META_ARCH_REGISTRY.register(FCOSNCRetinaNet, name="FCOSNCRetinaNet")
 META_ARCH_REGISTRY.register(PointRetinaNet, name="PointRetinaNet")
 META_ARCH_REGISTRY.register(FCOSRepPoints, name="FCOSRepPoints")
-# RetinaNet head predicting point sets (retina_reppoints.py); functionally
-# a single-anchor point-set detector = the RepPoints chassis
-META_ARCH_REGISTRY.register(FCOSRepPoints, name="ReppointsRetinaNet")
+META_ARCH_REGISTRY.register(ReppointsRetinaNet, name="ReppointsRetinaNet")
 
 from .meta_arch.retina_rotated import RotatedRetinaNet  # noqa: E402
 

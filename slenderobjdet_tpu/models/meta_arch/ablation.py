@@ -476,7 +476,7 @@ class AblationMetaArch:
         cb, cs, cc, cv = [], [], [], []
         for lvl in range(len(counts)):
             locs = jnp.asarray(locations_np[offsets[lvl]: offsets[lvl + 1]])
-            b, s, c, v = _fcos_level_candidates(
+            b, s, c, v, _ = _fcos_level_candidates(
                 cls_l[lvl], refine_l[lvl], ctr_l[lvl], locs,
                 self.score_thresh, self.topk_candidates,
             )

@@ -56,6 +56,7 @@ class FCOSHead(nn.Module):
     use_dcn_in_tower: bool = False       # last tower conv -> DFConv2d
     use_dcn_v2: bool = True
     strides: Sequence[int] = (8, 16, 32, 64, 128)
+    with_ctr: bool = True                # False: FCOSNCRetinaNet-style head
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -91,9 +92,12 @@ class FCOSHead(nn.Module):
         bbox_pred = nn.Conv(4, (3, 3), padding=1, dtype=self.dtype,
                             param_dtype=jnp.float32, kernel_init=_conv_init(),
                             name="bbox_pred")
-        centerness = nn.Conv(1, (3, 3), padding=1, dtype=self.dtype,
-                             param_dtype=jnp.float32, kernel_init=_conv_init(),
-                             name="centerness")
+        centerness = (
+            nn.Conv(1, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=jnp.float32, kernel_init=_conv_init(),
+                    name="centerness")
+            if self.with_ctr else None
+        )
         scales = [Scale(name=f"scale{i}") for i in range(len(feats))]
 
         logits_all, reg_all, ctr_all = [], [], []
@@ -107,8 +111,9 @@ class FCOSHead(nn.Module):
                 bt = nn.relu(gn(conv(bt)))
 
             logits = cls_logits(ct).astype(jnp.float32)
-            ctr_src = bt if self.centerness_on_reg else ct
-            ctr = centerness(ctr_src).astype(jnp.float32)
+            if self.with_ctr:
+                ctr_src = bt if self.centerness_on_reg else ct
+                ctr = centerness(ctr_src).astype(jnp.float32)
 
             reg = scales[lvl](bbox_pred(bt).astype(jnp.float32))
             if self.norm_reg_targets:
@@ -123,8 +128,9 @@ class FCOSHead(nn.Module):
 
             logits_all.append(logits.reshape(b, h * w, self.num_classes))
             reg_all.append(reg.reshape(b, h * w, 4))
-            ctr_all.append(ctr.reshape(b, h * w))
-        return logits_all, reg_all, ctr_all
+            if self.with_ctr:
+                ctr_all.append(ctr.reshape(b, h * w))
+        return logits_all, reg_all, (ctr_all if self.with_ctr else None)
 
 
 class FCOSModule(nn.Module):
@@ -192,8 +198,13 @@ class FCOS:
     """Config-driven FCOS detector: owns the Flax module plus pure loss /
     inference functions over fixed-shape batches."""
 
-    def __init__(self, cfg):
+    def __init__(self, cfg, use_centerness: bool = True):
         self.cfg = cfg
+        # use_centerness=False gives the FCOSNCRetinaNet semantics
+        # (retina_fcosv2_nc.py:163-215,306-413): no centerness branch, reg
+        # loss normalized by num_pos instead of the centerness sum, and
+        # inference ranked by raw cls scores.
+        self.use_centerness = use_centerness
         dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
         f = cfg.MODEL.FCOS
         spec = build_backbone(cfg, dtype=dtype)
@@ -204,6 +215,7 @@ class FCOS:
             prior_prob=f.PRIOR_PROB,
             centerness_on_reg=f.CENTERNESS_ON_REG,
             norm_reg_targets=f.NORM_REG_TARGETS,
+            with_ctr=use_centerness,
             use_dcn_in_tower=f.USE_DCN_IN_TOWER,
             use_dcn_v2=f.USE_DCN_V2,
             strides=tuple(f.FPN_STRIDES),
@@ -234,6 +246,9 @@ class FCOS:
         # FCOSV3: mask-based center sampling (fcosv3.py:129-142)
         self.mask_center_sampling = False
         self.mask_thresh = 0.2
+        # FCOSWithAnchor (fcoswa.py:68-76): attach each detection's implicit
+        # anchor — the source location as a degenerate (x,y,x,y) box
+        self.with_anchor = False
 
     # ------------------------------------------------------------ helpers
     def init_variables(self, rng, image_hw: Tuple[int, int] = (128, 128),
@@ -268,7 +283,7 @@ class FCOS:
         logits_l, reg_l, ctr_l = self.module.apply(variables, images, train=True)
         logits = jnp.concatenate(logits_l, axis=1)  # (B, L, C)
         reg = jnp.concatenate(reg_l, axis=1)        # (B, L, 4)
-        ctr = jnp.concatenate(ctr_l, axis=1)        # (B, L)
+        ctr = jnp.concatenate(ctr_l, axis=1) if ctr_l is not None else None
 
         labels, reg_targets, gt_inds = jax.vmap(
             partial(fcos_assign_single, num_classes=self.num_classes),
@@ -333,25 +348,34 @@ class FCOS:
             )[:, None, :]
             reg_pos = jnp.any(gate & (per_gt > 0), axis=-1)
 
-        sum_ctr = jnp.maximum(
-            jnp.sum(jnp.where(reg_pos, ctr_targets, 0.0)), 1e-6
-        )
         reg_losses = iou_loss_ltrb(reg, safe_targets, self.iou_loss_type)
-        reg_loss = jnp.sum(
-            jnp.where(reg_pos, reg_losses * ctr_targets, 0.0)
-        ) / sum_ctr
-
-        ctr_loss = jnp.sum(
-            jnp.where(pos, optax_sigmoid_ce(ctr, ctr_targets), 0.0)
-        ) / num_pos
-
-        total = cls_loss + reg_loss + ctr_loss
-        metrics = {
-            "cls_loss": cls_loss,
-            "reg_loss": reg_loss,
-            "centerness_loss": ctr_loss,
-            "num_pos": num_pos,
-        }
+        if self.use_centerness:
+            sum_ctr = jnp.maximum(
+                jnp.sum(jnp.where(reg_pos, ctr_targets, 0.0)), 1e-6
+            )
+            reg_loss = jnp.sum(
+                jnp.where(reg_pos, reg_losses * ctr_targets, 0.0)
+            ) / sum_ctr
+            ctr_loss = jnp.sum(
+                jnp.where(pos, optax_sigmoid_ce(ctr, ctr_targets), 0.0)
+            ) / num_pos
+            total = cls_loss + reg_loss + ctr_loss
+            metrics = {
+                "cls_loss": cls_loss,
+                "reg_loss": reg_loss,
+                "centerness_loss": ctr_loss,
+                "num_pos": num_pos,
+            }
+        else:
+            # NC variant: unweighted IoU loss / num_pos
+            # (retina_fcosv2_nc.py:202-206)
+            reg_loss = jnp.sum(jnp.where(reg_pos, reg_losses, 0.0)) / num_pos
+            total = cls_loss + reg_loss
+            metrics = {
+                "cls_loss": cls_loss,
+                "reg_loss": reg_loss,
+                "num_pos": num_pos,
+            }
         return total, metrics
 
     # ---------------------------------------------------------- inference
@@ -365,11 +389,13 @@ class FCOS:
         logits_l, reg_l, ctr_l = self.module.apply(variables, images, train=False)
 
         offsets = np.concatenate([[0], np.cumsum(counts)])
-        cand_boxes, cand_scores, cand_classes, cand_valid = [], [], [], []
+        cand_boxes, cand_scores, cand_classes, cand_valid, cand_locs = \
+            [], [], [], [], []
         for lvl in range(len(counts)):
             locs = jnp.asarray(locations_np[offsets[lvl]: offsets[lvl + 1]])
-            b, s, c, v = _fcos_level_candidates(
-                logits_l[lvl], reg_l[lvl], ctr_l[lvl], locs,
+            b, s, c, v, sl = _fcos_level_candidates(
+                logits_l[lvl], reg_l[lvl],
+                ctr_l[lvl] if ctr_l is not None else None, locs,
                 self.pre_nms_thresh, self.pre_nms_top_n,
                 approx=self.approx_topk,
             )
@@ -377,31 +403,41 @@ class FCOS:
             cand_scores.append(s)
             cand_classes.append(c)
             cand_valid.append(v)
+            cand_locs.append(sl)
 
         boxes = jnp.concatenate(cand_boxes, axis=1)
         scores = jnp.concatenate(cand_scores, axis=1)
         classes = jnp.concatenate(cand_classes, axis=1)
         valid = jnp.concatenate(cand_valid, axis=1)
+        locs = jnp.concatenate(cand_locs, axis=1)
 
-        def _nms_one(bx, sc, cl, vl, scale, orig_hw):
+        def _nms_one(bx, sc, cl, vl, lo, scale, orig_hw):
             keep_idx, keep_valid = batched_nms(
                 bx, sc, cl, self.nms_thresh, self.max_dets, valid=vl
             )
             kb = bx[keep_idx] / scale
             kb = box_ops.clip(kb, orig_hw[0], orig_hw[1])
-            return kb, sc[keep_idx], cl[keep_idx], keep_valid
+            return kb, sc[keep_idx], cl[keep_idx], keep_valid, lo[keep_idx]
 
-        out_boxes, out_scores, out_classes, out_valid = jax.vmap(_nms_one)(
-            boxes, scores, classes, valid,
+        out_boxes, out_scores, out_classes, out_valid, out_locs = jax.vmap(
+            _nms_one
+        )(
+            boxes, scores, classes, valid, locs,
             batch["scale"].astype(jnp.float32),
             batch["orig_size"].astype(jnp.float32),
         )
-        return {
+        out = {
             "boxes": out_boxes,
             "scores": out_scores,
             "classes": out_classes,
             "valid": out_valid,
         }
+        if self.with_anchor:
+            # implicit anchor = source location as (x,y,x,y) (fcoswa.py:68-76)
+            scale = batch["scale"].astype(jnp.float32)[:, None, None]
+            pts = out_locs / scale
+            out["anchors"] = jnp.concatenate([pts, pts], axis=-1)
+        return out
 
 
 def _fcos_level_candidates(logits, reg, ctr, locations, pre_nms_thresh,
@@ -415,9 +451,11 @@ def _fcos_level_candidates(logits, reg, ctr, locations, pre_nms_thresh,
     """
     bsz, L, C = logits.shape
     scores = jax.nn.sigmoid(logits)
-    ctrs = jax.nn.sigmoid(ctr)
     candidate = scores > pre_nms_thresh          # (B, L, C)
-    ranked = scores * ctrs[:, :, None]           # cls * centerness
+    if ctr is not None:
+        ranked = scores * jax.nn.sigmoid(ctr)[:, :, None]  # cls * centerness
+    else:
+        ranked = scores       # NC variant (retina_fcosv2_nc.py:240-268)
 
     flat_rank = jnp.where(candidate, ranked, 0.0).reshape(bsz, L * C)
     k = min(pre_nms_top_n, L * C)
@@ -432,7 +470,7 @@ def _fcos_level_candidates(logits, reg, ctr, locations, pre_nms_thresh,
     sel_reg = jnp.take_along_axis(reg, loc_idx[..., None], axis=1)  # (B,K,4)
     sel_loc = locations[loc_idx]                                    # (B,K,2)
     boxes = box_ops.decode_ltrb(sel_loc, sel_reg)
-    return boxes, jnp.sqrt(top_scores), cls_idx, valid
+    return boxes, jnp.sqrt(top_scores), cls_idx, valid, sel_loc
 
 
 class FCOSTopK(FCOS):

@@ -9,8 +9,9 @@ matching, RetinaNet anchors) rather than duplicating it:
   cls scores by the centerness gate. SLENDER_CENTERNESS switches the target
   to the ratio-tempered variant.
 - FCOSRetinaNet / FCOSNCRetinaNet (`retina/retina_fcosv2.py:34-386`,
-  `retina_fcosv2_nc.py:56-414`): RetinaNet towers + FCOS-style assignment at
-  anchor centers, with (NC = without) a centerness branch.
+  `retina_fcosv2_nc.py:56-414`): FCOS heads (LTRB at locations) on the
+  RetinaNet chassis, with (NC = without) the centerness branch — the
+  reference's centerness ablation pair.
 - PointRetinaNet (`retina/retina_points.py:28-473`): RetinaNet with
   point-based (nearest-at-level) assignment.
 - ReppointsRetinaNet (`retina/retina_reppoints.py:30-712`): RetinaNet-style
@@ -18,9 +19,10 @@ matching, RetinaNet anchors) rather than duplicating it:
 - FCOSRepPoints (`fcos/fcos_rpd_s1_topk.py:137-745`): FCOS towers with
   RepPoints deformable refinement; stage-1 point-match assignment, stage-2
   IoU matching on init boxes (the active hybrid variant).
-- RepPointsV2 (`reppoints/reppointsv2.py:84-754`): RepPoints plus corner/
-  foreground verification heatmaps (focal-trained, gaussian-splatted in
-  graph) fused into the classification score at inference.
+- RepPointsV2 (`reppoints/reppointsv2.py:85-754`): the reference's
+  self-contained RepPoints reimplementation — full-stride offset decode,
+  MaxIoU .5/.4 refine assignment, batch-total loss normalizers (see the
+  class docstring; the file contains NO verification/corner branch).
 """
 
 from __future__ import annotations
@@ -36,8 +38,13 @@ import numpy as np
 from ...ops.losses import optax_sigmoid_ce, sigmoid_focal_loss
 from ...structures import boxes as box_ops
 from .ablation import compute_slender_centerness_targets
-from .fcos import compute_centerness_targets
-from .reppoints import RepPointsDetector, RepPointsHead, RepPointsModule
+from .fcos import FCOS, compute_centerness_targets
+from .reppoints import (
+    RepPointsDetector,
+    RepPointsHead,
+    RepPointsModule,
+    rep_points_assign,
+)
 from .retinanet import RetinaNet
 
 
@@ -87,17 +94,14 @@ class RepPointsCenterness(RepPointsDetector):
         # centerness-augmented variant of RepPointsDetector.loss
         images = batch["image"]
         centers_np, counts, lvls_np = self._centers(images.shape[1:3])
-        logits_l, init_l, refine_l, ctr_l = self.module.apply(variables, images)
+        logits_l, init_l, refine_l, ctr_l = self.module.apply(
+            self._module_variables(variables), images
+        )
         ctr = jnp.concatenate(ctr_l, axis=1)
 
-        # base losses computed by re-dispatch through a throwaway module view
-        base_view = _ThreeTupleView(self.module)
-        orig_module = self.module
-        self.module = base_view
-        try:
-            total, metrics = super().loss(variables, batch)
-        finally:
-            self.module = orig_module
+        total, metrics = self._loss_from_outputs(
+            variables, batch, logits_l, init_l, refine_l
+        )
 
         # centerness target from the refine gt ltrb at each center
         refine_boxes = jnp.concatenate(
@@ -133,54 +137,38 @@ class RepPointsCenterness(RepPointsDetector):
 
     def predict(self, variables, batch):
         images = batch["image"]
-        centers_np, counts, _ = self._centers(images.shape[1:3])
-        logits_l, init_l, refine_l, ctr_l = self.module.apply(variables, images)
+        logits_l, init_l, refine_l, ctr_l = self.module.apply(
+            self._module_variables(variables), images
+        )
         # gate logits by centerness before the shared decode
         gated = [
             lg + jax.nn.log_sigmoid(ct)[..., None]
             for lg, ct in zip(logits_l, ctr_l)
         ]
-        view = _StaticOutputs((gated, init_l, refine_l))
-        orig = self.module
-        self.module = view
-        try:
-            return super().predict(variables, batch)
-        finally:
-            self.module = orig
+        return self._predict_from_outputs(batch, gated, refine_l)
 
 
-class _ThreeTupleView:
-    """Adapter making a 4-output module look like the 3-output base head."""
-
-    def __init__(self, module):
-        self._m = module
-
-    def apply(self, variables, images):
-        a, b, c, _ = self._m.apply(variables, images)
-        return a, b, c
-
-
-class _StaticOutputs:
-    def __init__(self, outputs):
-        self._o = outputs
-
-    def apply(self, variables, images):
-        return self._o
-
-
-# -------------------------------------------- RetinaNet + FCOS assignment
-class FCOSRetinaNet(RetinaNet):
-    """RetinaNet towers with FCOS assignment (retina_fcosv2.py)."""
+# ------------------------------------------ RetinaNet-chassis FCOS variants
+class FCOSRetinaNet(FCOS):
+    """The reference's FCOSRetinaNet (retina_fcosv2.py:34-386) is an FCOS
+    head — GN towers, per-level Scale, LTRB regression, CENTERNESS branch —
+    mounted on the d2 RetinaNet chassis. Losses: focal/num_pos, IoU loss
+    weighted by centerness targets normalized by their sum
+    (retina_fcosv2.py:163-180), BCE centerness/num_pos; inference ranks by
+    sqrt(cls*ctr). That is exactly this repo's FCOS-with-centerness."""
 
     def __init__(self, cfg):
-        super().__init__(cfg, assign_mode="fcos")
+        super().__init__(cfg, use_centerness=True)
 
 
-class FCOSNCRetinaNet(RetinaNet):
-    """No-centerness FCOS-assigned RetinaNet (retina_fcosv2_nc.py)."""
+class FCOSNCRetinaNet(FCOS):
+    """No-centerness ablation partner (retina_fcosv2_nc.py:56-414): head
+    WITHOUT the centerness conv (:373), reg loss normalized by num_pos
+    instead of the centerness sum (:202-206), inference ranked by raw cls
+    scores (:240-268)."""
 
     def __init__(self, cfg):
-        super().__init__(cfg, assign_mode="fcos")
+        super().__init__(cfg, use_centerness=False)
 
 
 class PointRetinaNet(RetinaNet):
@@ -188,6 +176,47 @@ class PointRetinaNet(RetinaNet):
 
     def __init__(self, cfg):
         super().__init__(cfg, assign_mode="nearest")
+
+
+# ------------------------------------------------- RetinaNet-head RepPoints
+class ReppointsRetinaNetHead(RepPointsHead):
+    """The reference's ReppointsRetinaNetHead (retina_reppoints.py:554-653):
+    structurally the RepPoints stacked-conv + DCN head with hard-coded
+    point_feat_channels=256, 3 stacked convs, gradient_mul=0.1 (:566,587,641)
+    instead of the MODEL.REPPOINTS knobs. Upstream emits num_classes-1 cls
+    channels with its own 'maybe not right' comment (:567) — corrected to
+    num_classes here so the decode indexes real classes."""
+
+
+class ReppointsRetinaNet(RepPointsDetector):
+    """RetinaNet-chassis point-set detector (retina_reppoints.py:30-712):
+    a 2P-point-offset head under MODEL.RETINANET config keys, num_points
+    from MODEL.PROPOSAL_GENERATOR.NUM_POINTS (:47), init matcher selected by
+    MODEL.PROPOSAL_GENERATOR.SAMPLE_MODE (:66-75), EMA loss normalizer
+    (:56-57, inherited via RepPointsDetector buffers), minmax points2bbox
+    with point_strides [1,2,4,8,16] (:117-118)."""
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.num_points = cfg.MODEL.PROPOSAL_GENERATOR.NUM_POINTS
+        self.transform_method = "minmax"  # points2bbox (:317-359) is minmax
+        head = ReppointsRetinaNetHead(
+            num_classes=self.num_classes,
+            num_points=self.num_points,
+            feat_channels=256,
+            stack_convs=3,
+            gradient_mul=0.1,
+            prior_prob=0.01,
+            dtype=self.module.dtype,
+        )
+        self.module = RepPointsModule(
+            backbone=self.module.backbone,
+            head=head,
+            in_features=self.module.in_features,
+            pixel_mean=self.module.pixel_mean,
+            pixel_std=self.module.pixel_std,
+            dtype=self.module.dtype,
+        )
 
 
 # ----------------------------------------- FCOS-RepPoints hybrid (s1 topk)
@@ -202,32 +231,46 @@ class FCOSRepPoints(RepPointsDetector):
 
 
 # ---------------------------------------------------------- RepPoints V2
-class RepPointsV2Head(RepPointsHead):
-    """RepPointsHead + verification branch: corner heatmap (2ch: tl, br) and
-    foreground ("within") heatmap, from the cls tower features."""
-
-    @nn.compact
-    def __call__(self, feats):
-        logits_l, init_l, refine_l = super().__call__(feats)
-        ver = nn.Conv(3, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
-                      kernel_init=nn.initializers.normal(stddev=0.01),
-                      bias_init=nn.initializers.constant(-4.0),
-                      name="verification_out")
-        ver_l = []
-        for feat in feats:
-            b, h, w, _ = feat.shape
-            ver_l.append(ver(feat).astype(jnp.float32).reshape(b, h * w, 3))
-        return logits_l, init_l, refine_l, ver_l
-
-
 class RepPointsV2(RepPointsDetector):
+    """Faithful counterpart of the reference's RepPointsV2
+    (reppointsv2.py:85-754). NOTE: despite its name, the reference class is
+    NOT the mmdet RepPointsV2 paper — there is no corner/foreground
+    verification branch anywhere in the file (the head at :616-754 is a
+    plain RepPoints head, and `grep -r corner|heatmap` over the reference's
+    modeling tree finds nothing). It is a self-contained RepPoints
+    reimplementation whose observable differences from rpd.py are:
+
+    - point offsets decoded at the FULL stride: pts*stride + center
+      (:262-266,284), vs rpd.py's stride/8 point_strides convention
+    - refine assignment by direct MaxIoU thresholds pos>=.5 / neg<.4 with NO
+      ignore band, plus gt-max augmentation, on min-0-clamped init boxes
+      (:431-484)
+    - losses normalized by batch-TOTAL num_pos (no EMA, no /batch), with
+      cfg weights LOSS_CLS/BBOX_INIT/BBOX_REFINE_WEIGHT (:296-321)
+    - inference params read from MODEL.REPPOINTS.*_TEST (:124-128)
+    - shift grid offset 0 (:47), same as the base class convention
+    """
+
     def __init__(self, cfg):
         super().__init__(cfg)
         rp = cfg.MODEL.REPPOINTS
-        head = RepPointsV2Head(
+        self.num_classes = rp.NUM_CLASSES
+        self.in_features = list(rp.IN_FEATURES)
+        self.focal_alpha = rp.FOCAL_LOSS_ALPHA
+        self.focal_gamma = rp.FOCAL_LOSS_GAMMA
+        self.score_thresh = rp.SCORE_THRESH_TEST
+        self.topk_candidates = rp.TOPK_CANDIDATES_TEST
+        self.nms_thresh = rp.NMS_THRESH_TEST
+        self.loss_cls_weight = rp.LOSS_CLS_WEIGHT
+        self.loss_init_weight = rp.LOSS_BBOX_INIT_WEIGHT
+        self.loss_refine_weight = rp.LOSS_BBOX_REFINE_WEIGHT
+        self.strides = [self.backbone_spec.strides[f] for f in self.in_features]
+        # V2 decodes offsets at the full stride (reppointsv2.py:262-266)
+        self.point_strides = [float(s) for s in self.strides]
+        head = RepPointsHead(
             num_classes=self.num_classes,
             num_points=self.num_points,
-            feat_channels=rp.POINT_FEAT_CHANNELS,
+            feat_channels=rp.FEAT_CHANNELS,
             stack_convs=rp.STACK_CONVS,
             gradient_mul=rp.GRADIENT_MUL,
             prior_prob=rp.PRIOR_PROB,
@@ -236,83 +279,93 @@ class RepPointsV2(RepPointsDetector):
         self.module = RepPointsModule(
             backbone=self.module.backbone,
             head=head,
-            in_features=self.module.in_features,
+            in_features=tuple(self.in_features),
             pixel_mean=self.module.pixel_mean,
             pixel_std=self.module.pixel_std,
             dtype=self.module.dtype,
         )
 
-    def _verification_targets(self, centers_np, counts, gt_boxes, gt_valid,
-                              image_hw):
-        """(B, L, 3) gaussian corner (tl, br) + inside-box targets at every
-        pyramid location (the V2 verification supervision)."""
-        centers = jnp.asarray(centers_np)                    # (L, 2)
+    def init_variables(self, rng, image_hw=(128, 128), batch_size: int = 1):
+        # no EMA normalizer in the reference V2 (losses :296-321)
+        import jax as _jax
+
+        images = jnp.zeros((1, 128, 128, 3), jnp.float32)
+        return dict(_jax.jit(self.module.init)(rng, images))
+
+    def _loss_from_outputs(self, variables, batch, logits_l, init_l, refine_l):
+        images = batch["image"]
+        centers_np, counts, lvls_np = self._centers(images.shape[1:3])
+        centers = jnp.asarray(centers_np)
+        lvls = jnp.asarray(lvls_np)
+        lvl_min = int(np.log2(self.strides[0]))
+        lvl_max = int(np.log2(self.strides[-1]))
+
+        init_boxes = jnp.concatenate(
+            self._decode_boxes(init_l, centers_np, counts), axis=1)
+        refine_boxes = jnp.concatenate(
+            self._decode_boxes(refine_l, centers_np, counts), axis=1)
+        logits = jnp.concatenate(logits_l, axis=1)
+
         stride_per_loc = jnp.asarray(np.concatenate([
             np.full(c, s, np.float32) for c, s in zip(counts, self.strides)
         ]))
 
-        def one(gt_b, gt_v):
-            x1, y1, x2, y2 = (gt_b[:, i] for i in range(4))
-            sigma = jnp.maximum(jnp.minimum(x2 - x1, y2 - y1) / 6.0, 1.0)
+        # init: nearest-point per gt (point_targets, :371-430)
+        init_obj, init_gt_boxes = jax.vmap(
+            partial(rep_points_assign, lvl_min=lvl_min, lvl_max=lvl_max,
+                    scale=float(self.point_base_scale), pos_num=1),
+            in_axes=(None, None, 0, 0),
+        )(centers, lvls, batch["gt_boxes"], batch["gt_valid"])
 
-            def heat(cx, cy):
-                d2 = (centers[:, 0:1] - cx[None, :]) ** 2 + \
-                     (centers[:, 1:2] - cy[None, :]) ** 2
-                g = jnp.exp(-d2 / (2 * sigma[None, :] ** 2))
-                return jnp.max(jnp.where(gt_v[None, :], g, 0.0), axis=1)
-
-            tl = heat(x1, y1)
-            br = heat(x2, y2)
-            inside = (
-                (centers[:, 0:1] >= x1[None]) & (centers[:, 0:1] <= x2[None])
-                & (centers[:, 1:2] >= y1[None]) & (centers[:, 1:2] <= y2[None])
+        # refine: MaxIoU .5/.4, no ignore band, gt-max augmentation
+        # (bbox_targets, :431-484); candidates clamped at 0 first (:474-478)
+        def refine_one(init_b, gt_b, gt_c, gt_v):
+            cand = jnp.maximum(init_b, 0.0)
+            ious = box_ops.pairwise_iou(cand, gt_b)           # (L, G)
+            ious = jnp.where(gt_v[None, :], ious, -1.0)
+            max_iou = jnp.max(ious, axis=1)
+            arg = jnp.argmax(ious, axis=1)
+            labels = jnp.where(max_iou >= 0.5, gt_c[arg], self.num_classes)
+            # gt-max augmentation: any candidate tying a gt's best IoU
+            gt_max = jnp.max(ious, axis=0)                    # (G,)
+            tie = (ious == gt_max[None, :]) & (gt_max[None, :] > 0) \
                 & gt_v[None, :]
-            ).any(axis=1).astype(jnp.float32)
-            return jnp.stack([tl, br, inside], axis=-1)
+            labels = jnp.where(tie.any(axis=1), gt_c[arg], labels)
+            return labels.astype(jnp.int32), gt_b[arg]
 
-        return jax.vmap(one)(gt_boxes, gt_valid)
-
-    def loss(self, variables, batch):
-        images = batch["image"]
-        centers_np, counts, _ = self._centers(images.shape[1:3])
-        logits_l, init_l, refine_l, ver_l = self.module.apply(variables, images)
-        ver = jnp.concatenate(ver_l, axis=1)                 # (B, L, 3)
-
-        view = _StaticOutputs((logits_l, init_l, refine_l))
-        orig = self.module
-        self.module = view
-        try:
-            total, metrics = super().loss(variables, batch)
-        finally:
-            self.module = orig
-
-        tgt = self._verification_targets(
-            centers_np, counts, batch["gt_boxes"], batch["gt_valid"],
-            images.shape[1:3],
+        gt_cls, refine_gt_boxes = jax.vmap(refine_one)(
+            jax.lax.stop_gradient(init_boxes),
+            batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"],
         )
-        num_pos = jnp.maximum(jnp.sum(tgt[..., :2] > 0.99), 1.0)
-        p = jax.nn.sigmoid(ver)
-        pos = tgt >= 0.99
-        pos_l = -jnp.log(jnp.clip(p, 1e-6)) * (1 - p) ** 2
-        neg_l = -jnp.log(jnp.clip(1 - p, 1e-6)) * p ** 2 * (1 - tgt) ** 4
-        ver_loss = jnp.sum(jnp.where(pos, pos_l, neg_l)) / num_pos * 0.1
 
-        metrics = dict(metrics)
-        metrics["loss_verification"] = ver_loss
-        return total + ver_loss, metrics
+        fg = gt_cls < self.num_classes
+        num_pos_refine = jnp.maximum(jnp.sum(fg), 1.0)
+        num_pos_init = jnp.maximum(jnp.sum(init_obj), 1.0)
 
-    def predict(self, variables, batch):
-        images = batch["image"]
-        logits_l, init_l, refine_l, ver_l = self.module.apply(variables, images)
-        # fuse the foreground verification score into classification
-        gated = [
-            lg + 0.5 * jax.nn.log_sigmoid(v[..., 2:3])
-            for lg, v in zip(logits_l, ver_l)
-        ]
-        view = _StaticOutputs((gated, init_l, refine_l))
-        orig = self.module
-        self.module = view
-        try:
-            return super().predict(variables, batch)
-        finally:
-            self.module = orig
+        onehot = jax.nn.one_hot(gt_cls, self.num_classes, dtype=jnp.float32)
+        cls_all = sigmoid_focal_loss(logits, onehot, self.focal_alpha,
+                                     self.focal_gamma)
+        loss_cls = jnp.sum(cls_all) / num_pos_refine * self.loss_cls_weight
+
+        from ...ops.losses import smooth_l1_loss
+
+        norm = (stride_per_loc * self.point_base_scale)[None, :, None]
+        safe_init_gt = jnp.where(init_obj[..., None], init_gt_boxes, 1.0)
+        l_init = smooth_l1_loss(init_boxes / norm, safe_init_gt / norm, 0.11)
+        loss_init = jnp.sum(
+            jnp.where(init_obj[..., None], l_init, 0.0)
+        ) / num_pos_init * self.loss_init_weight
+
+        safe_ref_gt = jnp.where(fg[..., None], refine_gt_boxes, 1.0)
+        l_ref = smooth_l1_loss(refine_boxes / norm, safe_ref_gt / norm, 0.11)
+        loss_refine = jnp.sum(
+            jnp.where(fg[..., None], l_ref, 0.0)
+        ) / num_pos_refine * self.loss_refine_weight
+
+        total = loss_cls + loss_init + loss_refine
+        return total, {
+            "loss_cls": loss_cls,
+            "loss_pts_init": loss_init,
+            "loss_pts_refine": loss_refine,
+            "num_pos": jnp.sum(fg),
+        }

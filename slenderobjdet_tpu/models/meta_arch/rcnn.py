@@ -51,10 +51,20 @@ class RCNNModule(nn.Module):
 class ProposalVisibleRCNN:
     """Config-driven Faster R-CNN. predict() returns detections plus the
     RPN proposals (the reference's 'proposal visibility' diagnosis feature,
-    pvrcnn.py:45-63)."""
+    pvrcnn.py:45-63).
 
-    def __init__(self, cfg):
+    with_anchor=True enables the full anchor-diagnosis chain
+    (ProposalVisibleRCNNWithAnchor, reference pvrcnnwa.py:12-28 +
+    find_top_rpn_proposals_anchors + FastRCNNOutputLayersWithAnchor):
+    each RPN proposal keeps its source anchor, and each final detection
+    carries its source (anchor, proposal) pair in the output fields
+    `anchors` / `det_proposals`."""
+
+    def __init__(self, cfg, with_anchor: bool = False):
         self.cfg = cfg
+        self.with_anchor = (
+            with_anchor or cfg.MODEL.PROPOSAL_GENERATOR.NAME == "RPNWithAnchor"
+        )
         dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
         spec = build_backbone(cfg, dtype=dtype)
         self.backbone_spec = spec
@@ -171,17 +181,26 @@ class ProposalVisibleRCNN:
                 jnp.asarray(images.shape[1:3], jnp.int32), (images.shape[0], 2)
             ),
         )
-        proposals, prop_scores, prop_valid = self.rpn.proposals(
-            anchors_np, counts, logits, deltas, image_sizes, train=False
-        )
+        prop_anchors = None
+        if self.with_anchor:
+            proposals, prop_scores, prop_valid, prop_anchors = self.rpn.proposals(
+                anchors_np, counts, logits, deltas, image_sizes, train=False,
+                with_anchors=True,
+            )
+        else:
+            proposals, prop_scores, prop_valid = self.rpn.proposals(
+                anchors_np, counts, logits, deltas, image_sizes, train=False
+            )
 
         out = self.roi_heads.inference(
             roi_vars, roi_feats, proposals, prop_valid,
-            batch["scale"], batch["orig_size"],
+            batch["scale"], batch["orig_size"], prop_anchors=prop_anchors,
         )
         # proposal visibility (reference pvrcnn.py inference extra outputs)
         scale = batch["scale"].astype(jnp.float32)[:, None, None]
         out["proposals"] = proposals / scale
         out["proposal_scores"] = prop_scores
         out["proposal_valid"] = prop_valid
+        if self.with_anchor:
+            out["proposal_anchors"] = prop_anchors / scale
         return out

@@ -12,8 +12,11 @@ Counterpart of the reference `RepPointsDetector`
 - init-stage assignment by nearest-point matching at the gt's pyramid level
   (matchers/rep_matcher.py:9-101), refine-stage by IoU Matcher on init boxes
 - losses: focal(cls, valid) + smooth-L1(beta .11) on boxes normalized by
-  4*stride, init weighted 0.5 (rpd.py:335-403); the reference's EMA loss
-  normalizer is replaced by the per-batch foreground mean (stateless)
+  4*stride, init weighted 0.5 (rpd.py:335-403); the EMA loss normalizer
+  (init 20, momentum 0.9, rpd.py:121-122,385-388) is carried in
+  TrainState.buffers["loss_normalizer"] and written back by the train step
+- init-stage matcher selected by MODEL.PROPOSAL_GENERATOR.SAMPLE_MODE
+  (rpd.py:125-137): point(s) / nearest_points / inside
 - RetinaNet-style per-level topk inference on refine boxes
 
 Centers follow the reference convention (x, y) = (ix, iy) * stride with NO
@@ -229,6 +232,45 @@ def rep_points_assign(
     return objectness, matched_boxes
 
 
+def inside_assign(centers, point_lvls, stride_per_loc, gt_boxes, gt_valid,
+                  lvl_min, lvl_max, scale=4.0):
+    """Vectorized inside_match (matchers/rep_matcher.py:222-270): a point is
+    positive iff its stride cell overlaps some gt box at the gt's matched
+    pyramid level; labels come from the nearest gt center; falls back to
+    nearest-point matching when no point is inside any box."""
+    gt_xy = (gt_boxes[:, :2] + gt_boxes[:, 2:]) / 2
+    gt_wh = jnp.clip(gt_boxes[:, 2:] - gt_boxes[:, :2], 1e-6, None)
+    gt_lvl = ((jnp.log2(gt_wh[:, 0] / scale) + jnp.log2(gt_wh[:, 1] / scale))
+              / 2).astype(jnp.int32)
+    gt_lvl = jnp.clip(gt_lvl, lvl_min, lvl_max)
+    on_lvl = point_lvls[None, :] == gt_lvl[:, None]          # (G, L)
+
+    upper = centers + stride_per_loc[:, None]                # (L, 2)
+    inside = (
+        (upper[None, :, 0] >= gt_boxes[:, None, 0])
+        & (upper[None, :, 1] >= gt_boxes[:, None, 1])
+        & (centers[None, :, 0] <= gt_boxes[:, None, 2])
+        & (centers[None, :, 1] <= gt_boxes[:, None, 3])
+        & on_lvl & gt_valid[:, None]
+    )
+    obj_inside = inside.any(axis=0)                           # (L,)
+
+    d = jnp.linalg.norm(
+        (centers[None, :, :] - gt_xy[:, None, :]) / gt_wh[:, None, :], axis=-1
+    )
+    d = jnp.where(gt_valid[:, None], d, jnp.inf)
+    nearest_gt = jnp.argmin(d, axis=0)                        # (L,)
+    boxes_inside = gt_boxes[nearest_gt]
+
+    obj_near, boxes_near = rep_points_assign(
+        centers, point_lvls, gt_boxes, gt_valid, lvl_min, lvl_max, scale, 1
+    )
+    any_inside = obj_inside.any()
+    objectness = jnp.where(any_inside, obj_inside, obj_near)
+    boxes_out = jnp.where(any_inside, boxes_inside, boxes_near)
+    return objectness, boxes_out
+
+
 def rep_points_assign_with_idx(centers, point_lvls, gt_boxes, gt_valid,
                                lvl_min, lvl_max, scale=4.0, pos_num=1):
     """rep_points_assign variant also returning the matched gt index
@@ -286,6 +328,13 @@ class RepPointsDetector:
         self.point_strides = [s // self.strides[0] * 1.0 for s in self.strides]
         # stage-1 positives per gt (FCOSRepPoints hybrid widens this to 3)
         self.init_pos_num = 1
+        # init-stage matcher (rpd.py:125-137 / retina_reppoints.py:66-75):
+        # "point(s)" k-nearest, "nearest_points" strict nearest, "inside" cell
+        self.sample_mode = cfg.MODEL.PROPOSAL_GENERATOR.SAMPLE_MODE
+        # EMA loss normalizer carried in TrainState.buffers
+        # (rpd.py:121-122,385-388): init 20, momentum 0.9
+        self.loss_normalizer_momentum = 0.9
+        self.loss_normalizer_init = 20.0
 
         self.module = RepPointsModule(
             backbone=spec.module,
@@ -308,7 +357,24 @@ class RepPointsDetector:
                        batch_size: int = 1):
         del image_hw, batch_size
         images = jnp.zeros((1, 128, 128, 3), jnp.float32)
-        return jax.jit(self.module.init)(rng, images)
+        variables = dict(jax.jit(self.module.init)(rng, images))
+        buffers = dict(variables.get("buffers", {}))
+        buffers["loss_normalizer"] = jnp.asarray(self.loss_normalizer_init,
+                                                 jnp.float32)
+        variables["buffers"] = buffers
+        return variables
+
+    def _module_variables(self, variables):
+        """Strip the detector-level loss_normalizer buffer before applying
+        the flax module (it is not a module variable)."""
+        buffers = variables.get("buffers")
+        if not buffers or "loss_normalizer" not in buffers:
+            return variables
+        rest = {k: v for k, v in buffers.items() if k != "loss_normalizer"}
+        out = {"params": variables["params"]}
+        if rest:
+            out["buffers"] = rest
+        return out
 
     # ----------------------------------------------------------- geometry
     def _centers(self, image_hw):
@@ -336,6 +402,13 @@ class RepPointsDetector:
 
     # ---------------------------------------------------------------- loss
     def loss(self, variables, batch):
+        logits_l, init_l, refine_l = self.module.apply(
+            self._module_variables(variables), batch["image"]
+        )
+        return self._loss_from_outputs(variables, batch,
+                                       logits_l, init_l, refine_l)
+
+    def _loss_from_outputs(self, variables, batch, logits_l, init_l, refine_l):
         images = batch["image"]
         centers_np, counts, lvls_np = self._centers(images.shape[1:3])
         centers = jnp.asarray(centers_np)
@@ -343,7 +416,6 @@ class RepPointsDetector:
         lvl_min = int(np.log2(self.strides[0]))
         lvl_max = int(np.log2(self.strides[-1]))
 
-        logits_l, init_l, refine_l = self.module.apply(variables, images)
         init_boxes = jnp.concatenate(
             self._decode_boxes(init_l, centers_np, counts), axis=1)
         refine_boxes = jnp.concatenate(
@@ -356,13 +428,24 @@ class RepPointsDetector:
             ])
         )
 
-        # init assignment (point matching) -- no dependence on predictions
-        init_obj, init_gt_boxes = jax.vmap(
-            partial(rep_points_assign, lvl_min=lvl_min, lvl_max=lvl_max,
-                    scale=float(self.point_base_scale),
-                    pos_num=self.init_pos_num),
-            in_axes=(None, None, 0, 0),
-        )(centers, lvls, batch["gt_boxes"], batch["gt_valid"])
+        # init assignment -- matcher selected by SAMPLE_MODE, no dependence
+        # on predictions
+        if self.sample_mode == "inside":
+            init_obj, init_gt_boxes = jax.vmap(
+                partial(inside_assign, lvl_min=lvl_min, lvl_max=lvl_max,
+                        scale=float(self.point_base_scale)),
+                in_axes=(None, None, None, 0, 0),
+            )(centers, lvls, stride_per_loc,
+              batch["gt_boxes"], batch["gt_valid"])
+        else:
+            pos_num = (1 if self.sample_mode == "nearest_points"
+                       else self.init_pos_num)
+            init_obj, init_gt_boxes = jax.vmap(
+                partial(rep_points_assign, lvl_min=lvl_min, lvl_max=lvl_max,
+                        scale=float(self.point_base_scale),
+                        pos_num=pos_num),
+                in_axes=(None, None, 0, 0),
+            )(centers, lvls, batch["gt_boxes"], batch["gt_valid"])
 
         # refine assignment: IoU match against the (detached) init boxes
         def refine_one(init_b, gt_b, gt_c, gt_v):
@@ -382,7 +465,19 @@ class RepPointsDetector:
         valid = gt_cls >= 0
         fg = valid & (gt_cls < self.num_classes)
         B = logits.shape[0]
-        normalizer = jnp.maximum(jnp.sum(fg) / B, 1.0)
+        num_fg_per_img = jnp.sum(fg).astype(jnp.float32) / B
+
+        # EMA loss normalizer (rpd.py:385-388: updated BEFORE use). The
+        # running value lives in TrainState.buffers["loss_normalizer"]; the
+        # train step writes back metrics["loss_normalizer"]. Falls back to
+        # the per-batch mean when no buffer is supplied (pure-loss callers).
+        prev = variables.get("buffers", {}).get("loss_normalizer", None)
+        if prev is None:
+            new_normalizer = num_fg_per_img
+        else:
+            m = self.loss_normalizer_momentum
+            new_normalizer = m * prev + (1.0 - m) * num_fg_per_img
+        normalizer = jnp.maximum(new_normalizer, 1.0)
 
         onehot = jax.nn.one_hot(gt_cls, self.num_classes, dtype=jnp.float32)
         cls_all = sigmoid_focal_loss(logits, onehot, self.focal_alpha,
@@ -408,13 +503,19 @@ class RepPointsDetector:
             "loss_localization_init": loss_init,
             "loss_localization_refine": loss_refine,
             "num_pos": jnp.sum(fg),
+            "loss_normalizer": jax.lax.stop_gradient(new_normalizer),
         }
 
     # ------------------------------------------------------------ inference
     def predict(self, variables, batch):
+        logits_l, init_l, refine_l = self.module.apply(
+            self._module_variables(variables), batch["image"]
+        )
+        return self._predict_from_outputs(batch, logits_l, refine_l)
+
+    def _predict_from_outputs(self, batch, logits_l, refine_l):
         images = batch["image"]
         centers_np, counts, _ = self._centers(images.shape[1:3])
-        logits_l, init_l, refine_l = self.module.apply(variables, images)
         boxes_l = self._decode_boxes(refine_l, centers_np, counts)
 
         cb, cs, cc, cv = [], [], [], []

@@ -132,8 +132,10 @@ class RetinaNet:
       (reference NearestRetinaNet, retina_nearest_assign.py:29-79)
     """
 
-    def __init__(self, cfg, use_dcn: bool = False, assign_mode: str = "iou"):
+    def __init__(self, cfg, use_dcn: bool = False, assign_mode: str = "iou",
+                 with_anchor: bool = False):
         self.assign_mode = assign_mode
+        self.with_anchor = with_anchor
         self.cfg = cfg
         dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
         r = cfg.MODEL.RETINANET
@@ -296,35 +298,42 @@ class RetinaNet:
         logits_l, regs_l = self.module.apply(variables, images)
 
         offsets = np.concatenate([[0], np.cumsum(counts)])
-        cb, cs, cc, cv = [], [], [], []
+        cb, cs, cc, cv, ca = [], [], [], [], []
         for lvl in range(len(counts)):
             lvl_anchors = jnp.asarray(anchors_np[offsets[lvl]: offsets[lvl + 1]])
-            b, s, c, v = _retina_level_candidates(
+            b, s, c, v, a = _retina_level_candidates(
                 logits_l[lvl], regs_l[lvl], lvl_anchors,
                 self.score_thresh, self.topk_candidates, self.box_reg_weights,
                 approx=self.approx_topk,
             )
-            cb.append(b); cs.append(s); cc.append(c); cv.append(v)
+            cb.append(b); cs.append(s); cc.append(c); cv.append(v); ca.append(a)
 
         boxes = jnp.concatenate(cb, axis=1)
         scores = jnp.concatenate(cs, axis=1)
         classes = jnp.concatenate(cc, axis=1)
         valid = jnp.concatenate(cv, axis=1)
+        anchors = jnp.concatenate(ca, axis=1)
 
-        def _nms_one(bx, sc, cl, vl, scale, orig_hw):
+        def _nms_one(bx, sc, cl, vl, an, scale, orig_hw):
             keep_idx, keep_valid = batched_nms(
                 bx, sc, cl, self.nms_thresh, self.max_dets, valid=vl
             )
-            kb = bx[keep_idx] / scale
-            kb = box_ops.clip(kb, orig_hw[0], orig_hw[1])
-            return kb, sc[keep_idx], cl[keep_idx], keep_valid
+            kb = box_ops.clip(bx[keep_idx] / scale, orig_hw[0], orig_hw[1])
+            ka = box_ops.clip(an[keep_idx] / scale, orig_hw[0], orig_hw[1])
+            return kb, sc[keep_idx], cl[keep_idx], keep_valid, ka
 
-        ob, os_, oc, ov = jax.vmap(_nms_one)(
-            boxes, scores, classes, valid,
+        ob, os_, oc, ov, oa = jax.vmap(_nms_one)(
+            boxes, scores, classes, valid, anchors,
             batch["scale"].astype(jnp.float32),
             batch["orig_size"].astype(jnp.float32),
         )
-        return {"boxes": ob, "scores": os_, "classes": oc, "valid": ov}
+        out = {"boxes": ob, "scores": os_, "classes": oc, "valid": ov}
+        if self.with_anchor:
+            # diagnosis chain (reference retinanetwa.py:149-154: each final
+            # detection carries its matched anchor, rescaled in postprocess
+            # by detector_postprocess_with_anchor)
+            out["anchors"] = oa
+        return out
 
 
 class DeformableConvRetinaNet(RetinaNet):
@@ -370,4 +379,4 @@ def _retina_level_candidates(logits, regs, anchors, score_thresh, topk,
     sel_regs = jnp.take_along_axis(regs, anchor_idx[..., None], axis=1)
     sel_anchors = anchors[anchor_idx]
     boxes = box_ops.apply_deltas(sel_regs, sel_anchors, weights=weights)
-    return boxes, top_scores, cls_idx, valid
+    return boxes, top_scores, cls_idx, valid, sel_anchors

@@ -138,14 +138,21 @@ class RPN:
 
     # ------------------------------------------------------------ proposals
     def proposals(self, anchors_np, counts, logits, deltas, image_sizes,
-                  train: bool) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                  train: bool, with_anchors: bool = False):
         """-> (B, K, 4) proposal boxes in image coords, (B, K) scores,
-        (B, K) valid; K = POST_NMS_TOPK."""
+        (B, K) valid; K = POST_NMS_TOPK.
+
+        with_anchors=True additionally returns each kept proposal's SOURCE
+        anchor (B, K, 4), carried through topk and NMS exactly like the
+        reference's `find_top_rpn_proposals_anchors`
+        (proposal_utils.py:11-130: topk_anchors gathered with topk_idx,
+        filtered/NMS-kept with the same indices, clipped to the image).
+        """
         pre_k = self.pre_nms_topk[train]
         post_k = self.post_nms_topk[train]
         offsets = np.concatenate([[0], np.cumsum(counts)])
 
-        cand_boxes, cand_scores, cand_levels = [], [], []
+        cand_boxes, cand_scores, cand_levels, cand_anchors = [], [], [], []
         for lvl in range(len(counts)):
             sl = slice(offsets[lvl], offsets[lvl + 1])
             lvl_logits = logits[:, sl]
@@ -160,12 +167,14 @@ class RPN:
             cand_boxes.append(boxes)
             cand_scores.append(top_scores)
             cand_levels.append(jnp.full(top_scores.shape, lvl, jnp.int32))
+            cand_anchors.append(sel_anchors)
 
         boxes = jnp.concatenate(cand_boxes, axis=1)
         scores = jnp.concatenate(cand_scores, axis=1)
         levels = jnp.concatenate(cand_levels, axis=1)
+        anchors = jnp.concatenate(cand_anchors, axis=1)
 
-        def one_image(bx, sc, lv, hw):
+        def one_image(bx, sc, lv, an, hw):
             bx = box_ops.clip(bx, hw[0], hw[1])
             wh_ok = ((bx[:, 2] - bx[:, 0]) > self.min_size) & (
                 (bx[:, 3] - bx[:, 1]) > self.min_size
@@ -173,8 +182,12 @@ class RPN:
             keep_idx, keep_valid = batched_nms(
                 bx, sc, lv, self.nms_thresh, post_k, valid=wh_ok
             )
-            return bx[keep_idx], sc[keep_idx], keep_valid
+            kept_anchors = box_ops.clip(an[keep_idx], hw[0], hw[1])
+            return bx[keep_idx], sc[keep_idx], keep_valid, kept_anchors
 
-        return jax.vmap(one_image)(
-            boxes, scores, levels, image_sizes.astype(jnp.float32)
+        pb, ps, pv, pa = jax.vmap(one_image)(
+            boxes, scores, levels, anchors, image_sizes.astype(jnp.float32)
         )
+        if with_anchors:
+            return pb, ps, pv, pa
+        return pb, ps, pv

@@ -212,7 +212,12 @@ class StandardROIHeads:
 
     # ------------------------------------------------------------ inference
     def inference(self, variables, feats, proposals, prop_valid,
-                  scales, orig_sizes) -> Dict[str, jnp.ndarray]:
+                  scales, orig_sizes,
+                  prop_anchors=None) -> Dict[str, jnp.ndarray]:
+        """prop_anchors (B,R,4), if given, enables the WithAnchor diagnosis
+        path (reference fast_rcnn.py:109-115): every final detection carries
+        its source proposal and that proposal's source anchor, gathered with
+        the same row indices through score-filter and NMS."""
         pooled = jax.vmap(
             lambda *args: self.pool(list(args[:-1]), args[-1])
         )(*feats, proposals)
@@ -243,17 +248,33 @@ class StandardROIHeads:
         )
         sel_cls = jnp.take_along_axis(cls_ids, top_idx, axis=1)
         valid = top_scores > self.score_thresh
+        row_idx = top_idx // C                                  # (B, k)
 
-        def one(bx, sc, cl, vl, scale, orig_hw):
+        sources = None
+        if prop_anchors is not None:
+            sources = (
+                jnp.take_along_axis(proposals, row_idx[..., None], axis=1),
+                jnp.take_along_axis(prop_anchors, row_idx[..., None], axis=1),
+            )
+
+        def one(bx, sc, cl, vl, scale, orig_hw, src_prop, src_anc):
             keep_idx, keep_valid = batched_nms(
                 bx, sc, cl, self.nms_thresh, self.max_dets, valid=vl
             )
-            kb = bx[keep_idx] / scale
-            kb = box_ops.clip(kb, orig_hw[0], orig_hw[1])
-            return kb, sc[keep_idx], cl[keep_idx], keep_valid
+            kb = box_ops.clip(bx[keep_idx] / scale, orig_hw[0], orig_hw[1])
+            kp = box_ops.clip(src_prop[keep_idx] / scale, orig_hw[0], orig_hw[1])
+            ka = box_ops.clip(src_anc[keep_idx] / scale, orig_hw[0], orig_hw[1])
+            return kb, sc[keep_idx], cl[keep_idx], keep_valid, kp, ka
 
-        ob, os_, oc, ov = jax.vmap(one)(
+        zeros = jnp.zeros_like(sel_boxes)
+        src_prop, src_anc = sources if sources is not None else (zeros, zeros)
+        ob, os_, oc, ov, op, oa = jax.vmap(one)(
             sel_boxes, top_scores, sel_cls, valid,
             scales.astype(jnp.float32), orig_sizes.astype(jnp.float32),
+            src_prop, src_anc,
         )
-        return {"boxes": ob, "scores": os_, "classes": oc, "valid": ov}
+        out = {"boxes": ob, "scores": os_, "classes": oc, "valid": ov}
+        if sources is not None:
+            out["det_proposals"] = op
+            out["anchors"] = oa
+        return out

@@ -74,5 +74,20 @@ class Visualizer:
             cv2.rectangle(self.img, (x1, y1), (x2, y2), (180, 180, 180), 1)
         return self.img
 
+    def draw_anchors(self, anchors: np.ndarray, max_n: int = 50
+                     ) -> np.ndarray:
+        """Anchors drawn dashed-style (corner ticks) in yellow so they are
+        visually distinct from proposals (reference visualizer draws
+        proposals and anchors as separate overlays, visualizer.py:149-178)."""
+        for box in np.asarray(anchors)[:max_n]:
+            x1, y1, x2, y2 = [int(v) for v in box]
+            t = max(2, min(x2 - x1, y2 - y1) // 4)
+            color = (0, 220, 220)
+            for (cx, cy, dx, dy) in ((x1, y1, 1, 1), (x2, y1, -1, 1),
+                                     (x1, y2, 1, -1), (x2, y2, -1, -1)):
+                cv2.line(self.img, (cx, cy), (cx + dx * t, cy), color, 1)
+                cv2.line(self.img, (cx, cy), (cx, cy + dy * t), color, 1)
+        return self.img
+
     def get(self) -> np.ndarray:
         return self.img

@@ -1,0 +1,198 @@
+"""De-aliased retina family: the FCOSRetinaNet/FCOSNCRetinaNet centerness
+ablation pair (retina_fcosv2.py:163-180 vs retina_fcosv2_nc.py:163-215),
+the real ReppointsRetinaNet head (retina_reppoints.py:30-712), the RepPoints
+EMA loss normalizer in buffers (rpd.py:121-122,385-388), and SAMPLE_MODE
+matcher selection (rpd.py:125-137)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from slenderobjdet_tpu.models import build_model
+
+from test_model_fcos import make_batch
+
+
+def _cfg(meta_arch):
+    from conftest import make_tiny_cfg
+
+    cfg = make_tiny_cfg()
+    cfg.MODEL.META_ARCHITECTURE = meta_arch
+    cfg.freeze()
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def fcos_retina_pair():
+    wa = build_model(_cfg("FCOSRetinaNet"))
+    nc = build_model(_cfg("FCOSNCRetinaNet"))
+    v_wa = wa.init_variables(jax.random.PRNGKey(0))
+    v_nc = nc.init_variables(jax.random.PRNGKey(0))
+    return wa, v_wa, nc, v_nc
+
+
+def test_centerness_pair_differs(fcos_retina_pair):
+    """The ablation pair must be architecturally distinct: the NC head has
+    no centerness conv, the losses differ on the same batch."""
+    wa, v_wa, nc, v_nc = fcos_retina_pair
+    assert "centerness" in v_wa["params"]["head"]
+    assert "centerness" not in v_nc["params"]["head"]
+
+    batch = make_batch()
+    t_wa, m_wa = jax.jit(wa.loss)(v_wa, batch)
+    t_nc, m_nc = jax.jit(nc.loss)(v_nc, batch)
+    assert np.isfinite(float(t_wa)) and np.isfinite(float(t_nc))
+    assert "centerness_loss" in m_wa
+    assert "centerness_loss" not in m_nc
+    # same init seed, same towers -> identical cls losses, but the reg
+    # normalizers differ (centerness-sum vs num_pos)
+    assert abs(float(m_wa["reg_loss"]) - float(m_nc["reg_loss"])) > 1e-6
+    assert abs(float(t_wa) - float(t_nc)) > 1e-6
+
+
+def test_centerness_pair_grads_and_predict(fcos_retina_pair):
+    wa, v_wa, nc, v_nc = fcos_retina_pair
+    batch = make_batch()
+    for det, variables in ((wa, v_wa), (nc, v_nc)):
+        grads = jax.grad(
+            lambda p: det.loss({**variables, "params": p}, batch)[0]
+        )(variables["params"])
+        gnorm = sum(float(jnp.sum(g ** 2))
+                    for g in jax.tree_util.tree_leaves(grads))
+        assert np.isfinite(gnorm) and gnorm > 0
+        out = jax.jit(det.predict)(variables, batch)
+        assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+@pytest.fixture(scope="module")
+def reppoints_retina():
+    det = build_model(_cfg("ReppointsRetinaNet"))
+    variables = det.init_variables(jax.random.PRNGKey(0))
+    return det, variables
+
+
+def test_reppoints_retinanet_own_head(reppoints_retina):
+    from slenderobjdet_tpu.models.meta_arch.hybrids import (
+        ReppointsRetinaNet,
+        ReppointsRetinaNetHead,
+    )
+
+    det, variables = reppoints_retina
+    assert isinstance(det, ReppointsRetinaNet)
+    assert isinstance(det.module.head, ReppointsRetinaNetHead)
+    assert det.transform_method == "minmax"
+    # RepPoints DCN structure present
+    assert "deform_cls_conv" in variables["params"]["head"]
+
+
+def test_reppoints_retinanet_train_step(reppoints_retina):
+    det, variables = reppoints_retina
+    batch = make_batch()
+
+    def loss_fn(params):
+        return det.loss({**variables, "params": params}, batch)
+
+    (total, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    assert np.isfinite(float(total))
+    gnorm = sum(float(jnp.sum(g ** 2))
+                for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+    out = jax.jit(det.predict)(variables, batch)
+    assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+def test_reppoints_ema_normalizer_matches_oracle():
+    """The buffers-carried EMA normalizer must follow the reference
+    recurrence norm <- 0.9*norm + 0.1*(num_fg/B), starting at 20, updated
+    BEFORE use (rpd.py:121-122,385-388) — checked over real train steps."""
+    import optax
+
+    from slenderobjdet_tpu.engine.train_loop import (
+        TrainState,
+        make_train_step,
+    )
+
+    det = build_model(_cfg("RepPointsDetector"))
+    variables = det.init_variables(jax.random.PRNGKey(0))
+    assert float(variables["buffers"]["loss_normalizer"]) == 20.0
+
+    tx = optax.sgd(1e-4)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        buffers=variables["buffers"],
+        opt_state=tx.init(variables["params"]),
+    )
+    step = make_train_step(det, tx)
+    batch = make_batch()
+
+    expected = 20.0
+    for _ in range(3):
+        state, metrics = step(state, batch)
+        num_fg = float(metrics["num_pos"]) / batch["image"].shape[0]
+        expected = 0.9 * expected + 0.1 * num_fg
+        got = float(state.buffers["loss_normalizer"])
+        assert abs(got - expected) < 1e-3, (got, expected)
+        # the loss itself must use max(1, updated_norm) as normalizer:
+        # recompute cls loss from a fresh call with the PREVIOUS buffer value
+        assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_sample_mode_inside_finite():
+    from conftest import make_tiny_cfg
+
+    cfg = make_tiny_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "RepPointsDetector"
+    cfg.MODEL.PROPOSAL_GENERATOR.SAMPLE_MODE = "inside"
+    cfg.freeze()
+    det = build_model(cfg)
+    variables = det.init_variables(jax.random.PRNGKey(0))
+    batch = make_batch()
+    total, metrics = jax.jit(det.loss)(variables, batch)
+    assert np.isfinite(float(total))
+    assert float(metrics["num_pos"]) >= 0
+
+
+def test_inside_assign_semantics():
+    """inside_match oracle: stride-cell overlap at the matched level marks
+    positives; labels come from the nearest gt (rep_matcher.py:222-270)."""
+    from slenderobjdet_tpu.models.meta_arch.reppoints import inside_assign
+
+    s = 8
+    xs = np.arange(8, dtype=np.float32) * s
+    xg, yg = np.meshgrid(xs, xs)
+    centers = jnp.asarray(np.stack([xg.reshape(-1), yg.reshape(-1)], 1))
+    lvls = jnp.full((64,), 3, jnp.int32)
+    strides = jnp.full((64,), float(s))
+    # a box at lvl 3 (w=h=32 -> log2(32/4)=3)
+    gt = jnp.asarray([[8.0, 8.0, 40.0, 40.0]])
+    valid = jnp.ones((1,), bool)
+    obj, boxes = inside_assign(centers, lvls, strides, gt, valid, 3, 3)
+    obj = np.asarray(obj).reshape(8, 8)
+    # cells overlapping [8,40): x in {1..5} rows/cols (cell [x, x+8))
+    expected = np.zeros((8, 8), bool)
+    expected[1:6, 1:6] = True
+    # grid points at x*8: upper=x*8+8 >= 8 -> x>=0; x*8 <= 40 -> x<=5
+    expected[0, :6] = expected[:6, 0] = True
+    expected[0, 0] = True
+    np.testing.assert_array_equal(obj, expected)
+    assert np.allclose(np.asarray(boxes)[np.asarray(obj).reshape(-1)],
+                       [8, 8, 40, 40])
+
+
+def test_reppointsv2_semantics():
+    """The reference RepPointsV2 (reppointsv2.py:85-754) decodes offsets at
+    the FULL stride, uses MaxIoU .5/.4 refine assignment, batch-total
+    normalizers and NO EMA buffer."""
+    det = build_model(_cfg("RepPointsV2"))
+    assert det.point_strides == [float(s) for s in det.strides]
+    variables = det.init_variables(jax.random.PRNGKey(0))
+    assert "loss_normalizer" not in variables.get("buffers", {})
+    batch = make_batch()
+    total, metrics = jax.jit(det.loss)(variables, batch)
+    assert np.isfinite(float(total))
+    for k in ("loss_cls", "loss_pts_init", "loss_pts_refine"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k

@@ -52,7 +52,7 @@ def main():
     predict = jax.jit(det.predict)
     loader = build_detection_test_loader(cfg, cfg.DATASETS.TEST[0],
                                          batch_size=4)
-    records = []
+    boxes, anchors, logits, ids = [], [], [], []
     for batch in loader:
         dev = {k: jnp.asarray(batch[k]) for k in
                ("image", "scale", "orig_size", "image_size")
@@ -61,19 +61,24 @@ def main():
         props = np.asarray(out["proposals"])
         scores = np.asarray(out["proposal_scores"])
         valid = np.asarray(out["proposal_valid"])
+        prop_anchors = (np.asarray(out["proposal_anchors"])
+                        if "proposal_anchors" in out else None)
         for i, img_id in enumerate(batch["image_id"]):
             if not batch["batch_valid"][i]:
                 continue
-            records.append({
-                "image_id": int(img_id),
-                "proposals": props[i][valid[i]],
-                "scores": scores[i][valid[i]],
-            })
-        if len(records) >= args.max_images:
+            ids.append(int(img_id))
+            boxes.append(props[i][valid[i]])
+            logits.append(scores[i][valid[i]])
+            anchors.append(prop_anchors[i][valid[i]]
+                           if prop_anchors is not None else None)
+        if len(ids) >= args.max_images:
             break
+    # reference pkl schema (coco_evaluation_with_anchors.py:45-51)
     with open(args.out, "wb") as f:
-        pickle.dump(records, f)
-    print(f"saved {len(records)} images of proposals to {args.out}")
+        pickle.dump({"boxes": boxes, "anchors": anchors,
+                     "objectness_logits": logits, "ids": ids,
+                     "bbox_mode": "XYXY_ABS"}, f)
+    print(f"saved {len(ids)} images of proposals to {args.out}")
 
 
 if __name__ == "__main__":
