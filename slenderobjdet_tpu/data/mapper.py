@@ -50,8 +50,16 @@ class DatasetMapper:
         self.max_size = cfg.INPUT.MAX_SIZE_TRAIN if is_train else cfg.INPUT.MAX_SIZE_TEST
         self.max_gt = cfg.TPU.MAX_GT_PER_IMAGE
         # NEED_MASKS: render the center-score map used by FCOSV3's
-        # mask-based center sampling / the BorderMaskMapper path
+        # mask-based center sampling / the BorderMaskMapper path.
+        # ProposalNetworkWithMasks additionally consumes the size/border maps
+        # (the reference BorderMaskMapper's mask_keys=["sizes"],
+        # bm_mapper.py:36 + pnwm.py:11) — rendered inline here instead of
+        # fetched from nori/redis.
         self.need_masks = cfg.NEED_MASKS
+        self.mask_keys = ("center",)
+        if self.need_masks and cfg.MODEL.META_ARCHITECTURE in (
+                "ProposalNetworkWithMasks",):
+            self.mask_keys = ("center", "sizes", "border")
         # two orientation buckets; shapes chosen to fit shortest-edge resize
         short = max(self.min_sizes)
         # round the long side up to stride-128 multiple
@@ -133,6 +141,14 @@ class DatasetMapper:
             masks = BorderMasks(kept_polys)
             cm = masks.center_masks((rh, rw), standard="gaussian", sigma=0.5)
             extra["center_mask"] = T.pad_to(cm, image.shape[:2])
+            if "sizes" in self.mask_keys:
+                border, _, size = masks.masks((rh, rw))
+                extra["border_mask"] = T.pad_to(border, image.shape[:2])
+                extra["size_map"] = np.stack(
+                    [T.pad_to(size[..., 0], image.shape[:2]),
+                     T.pad_to(size[..., 1], image.shape[:2])],
+                    axis=-1,
+                )
 
         if rboxes is not None:
             gt_rboxes = np.zeros((self.max_gt, 5), np.float32)

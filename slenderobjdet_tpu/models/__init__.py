@@ -49,14 +49,35 @@ from .meta_arch.fcos_anchor import FCOSAnchor  # noqa: E402
 META_ARCH_REGISTRY.register(FCOSAnchor, name="FCOSAnchor")
 
 from .meta_arch.proposal_network import ProposalNetworkWithMasks  # noqa: E402
+from .proposal_generator.ppg import PointsProposalGenerator  # noqa: E402
+from .proposal_generator.rpg import RepPointsGenerator  # noqa: E402
 from .proposal_generator.rpn import RPN  # noqa: E402
 
-META_ARCH_REGISTRY.register(ProposalNetworkWithMasks, name="ProposalNetworkWithMasks")
+
+def _build_pnwm(cfg):
+    """ProposalNetworkWithMasks dispatches on the configured proposal
+    generator (the reference pnwm.py:46 calls self.proposal_generator built
+    from MODEL.PROPOSAL_GENERATOR.NAME): PointsProposalGenerator /
+    RepPointsGenerator are standalone proposal-only detectors here."""
+    name = cfg.MODEL.PROPOSAL_GENERATOR.NAME
+    if name == "PointsProposalGenerator":
+        return PointsProposalGenerator(cfg)
+    if name == "RepPointsGenerator":
+        return RepPointsGenerator(cfg)
+    return ProposalNetworkWithMasks(cfg)
+
+
+META_ARCH_REGISTRY.register(_build_pnwm, name="ProposalNetworkWithMasks")
+META_ARCH_REGISTRY.register(_build_pnwm, name="ProposalNetwork")
 # RPN variants: one implementation with a pluggable matcher covers the
 # reference's RPN / RPNWNM / RPNWithAnchor (proposal_generator/rpn.py:25-356)
 PROPOSAL_GENERATOR_REGISTRY.register(RPN, name="RPN")
 PROPOSAL_GENERATOR_REGISTRY.register(RPN, name="RPNWNM")
 PROPOSAL_GENERATOR_REGISTRY.register(RPN, name="RPNWithAnchor")
+PROPOSAL_GENERATOR_REGISTRY.register(PointsProposalGenerator,
+                                     name="PointsProposalGenerator")
+PROPOSAL_GENERATOR_REGISTRY.register(RepPointsGenerator,
+                                     name="RepPointsGenerator")
 META_ARCH_REGISTRY.register(RetinaNet, name="RetinaNet")
 # diagnosis variant carrying each detection's matched anchor through
 # topk/NMS into outputs (reference retinanetwa.py:88-154)

@@ -81,6 +81,55 @@ def radial_fraction(hull: np.ndarray, xs: np.ndarray, ys: np.ndarray,
     return np.clip(t, 0.0, None)
 
 
+def _min_edge_distance(hull: np.ndarray, xs: np.ndarray, ys: np.ndarray
+                       ) -> np.ndarray:
+    """Min distance from each pixel to any hull edge SEGMENT (the
+    reference's compute_distance, borders.py:167-192: perpendicular distance
+    where the foot falls on the segment, else nearest-endpoint distance)."""
+    k = hull.shape[0]
+    best = np.full(xs.shape, np.inf, np.float64)
+    for i in range(k):
+        a, b = hull[i], hull[(i + 1) % k]
+        d1sq = (xs - a[0]) ** 2 + (ys - a[1]) ** 2
+        d2sq = (xs - b[0]) ** 2 + (ys - b[1]) ** 2
+        absq = (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+        denom = 2.0 * np.sqrt(np.maximum(d1sq * d2sq, 1e-12))
+        cosin = (absq - d1sq - d2sq) / denom
+        sinsq = np.clip(1.0 - cosin ** 2, 0.0, None)
+        perp = np.sqrt(d1sq * d2sq * sinsq / max(absq, 1e-12))
+        d = np.where(cosin < 0, np.sqrt(np.minimum(d1sq, d2sq)), perp)
+        best = np.minimum(best, d)
+    return best
+
+
+def _triangle_fan_sizes(hull: np.ndarray, o: np.ndarray, xs: np.ndarray,
+                        ys: np.ndarray) -> np.ndarray:
+    """(Hc, Wc, 2) size map: each fan triangle (o, v_i, v_i+1) filled with
+    |midpoint - o| per axis; the closing triangle (v_k-1, v_0) with the
+    scalar L2 norm in both channels (the reference's distance_in_triangle
+    loop + tail, borders.py:90-115). fmax-combined like cv2.fillPoly
+    overwrites under np.maximum."""
+    k = hull.shape[0]
+    out = np.zeros((*xs.shape, 2), np.float32)
+    for i in range(k):
+        a, b = hull[i], hull[(i + 1) % k]
+        m = (a + b) / 2.0
+        if i < k - 1:
+            val = np.abs(m - o)                      # (|dx|, |dy|)
+        else:
+            val = np.full(2, np.sqrt(np.square(m - o).sum()))
+        # point-in-triangle (o, a, b) via signed areas
+        d1 = (xs - a[0]) * (o[1] - a[1]) - (ys - a[1]) * (o[0] - a[0])
+        d2 = (xs - b[0]) * (a[1] - b[1]) - (ys - b[1]) * (a[0] - b[0])
+        d3 = (xs - o[0]) * (b[1] - o[1]) - (ys - o[1]) * (b[0] - o[0])
+        neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
+        pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
+        inside = ~(neg & pos)
+        out = np.where(inside[..., None],
+                       np.maximum(out, val.astype(np.float32)), out)
+    return out
+
+
 class BorderMasks:
     """Per-image polygon container with map-rendering methods."""
 
@@ -114,7 +163,7 @@ class BorderMasks:
             geo = self._instance_geometry(inst)
             if geo is None:
                 continue
-            _, dilated = geo
+            hull, dilated = geo
             x0 = int(max(0, np.floor(dilated[:, 0].min())))
             y0 = int(max(0, np.floor(dilated[:, 1].min())))
             x1 = int(min(W, np.ceil(dilated[:, 0].max()) + 1))
@@ -123,7 +172,9 @@ class BorderMasks:
                 continue
             xs, ys = np.meshgrid(np.arange(x0, x1, dtype=np.float64),
                                  np.arange(y0, y1, dtype=np.float64))
-            t = radial_fraction(dilated, xs, ys)
+            # the reference ramps over the HULL fan (center_masks,
+            # borders.py:233-263), the dilation only widens the crop window
+            t = radial_fraction(hull, xs, ys)
             if standard == "linear":
                 score = np.clip(1.0 - t, 0.0, 1.0)
             else:
@@ -133,12 +184,24 @@ class BorderMasks:
                                         score.astype(np.float32))
         return out
 
-    def border_masks(self, mask_size: Tuple[int, int]
-                     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (border (H,W): 1 at the border decaying inward,
-        sizes (H,W,2): (h,w) of the covering instance)."""
+    def masks(self, mask_size: Tuple[int, int]
+              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Renders the reference's three supervision maps
+        (`BorderMasks.masks`/`border_masks`, borders.py:291-390):
+
+        - border (H, W): fmax of (a) the border-proximity band
+          clip(1 - d_edge/dilate_dist, 0, 1) over the dilated window
+          (draw_border_map, :125-164) and (b) the inside linear ramp
+          0@center -> 1@hull-boundary (mask_in_triangle reverse=False);
+        - center (H, W): the reverse linear ramp 1@center -> 0@boundary;
+        - size (H, W, 2): per triangle (O, v_i, v_i+1) of the hull fan, the
+          per-axis |midpoint(v_i, v_i+1) - O| — with the reference's quirk
+          that the closing triangle is filled with the scalar L2 distance in
+          BOTH channels (distance_in_triangle, :90-115).
+        """
         H, W = mask_size
         border = np.zeros((H, W), np.float32)
+        center = np.zeros((H, W), np.float32)
         sizes = np.zeros((H, W, 2), np.float32)
         for inst in self.polygons:
             geo = self._instance_geometry(inst)
@@ -153,13 +216,33 @@ class BorderMasks:
                 continue
             xs, ys = np.meshgrid(np.arange(x0, x1, dtype=np.float64),
                                  np.arange(y0, y1, dtype=np.float64))
-            t = radial_fraction(dilated, xs, ys)
+            o = hull.mean(0)
+            t = radial_fraction(hull, xs, ys, center=o)
             inside = t <= 1.0
-            score = np.where(inside, t, 0.0).astype(np.float32)
-            border[y0:y1, x0:x1] = np.fmax(border[y0:y1, x0:x1], score)
-            h = hull[:, 1].max() - hull[:, 1].min()
-            w = hull[:, 0].max() - hull[:, 0].min()
-            patch = sizes[y0:y1, x0:x1]
-            patch[inside] = (h, w)
-            sizes[y0:y1, x0:x1] = patch
+
+            # (a) border-proximity band over the dilated window
+            area = cv2.contourArea(hull.astype(np.float32))
+            dilate_dist = np.sqrt(max(area, 0.0)) * 0.1
+            d_edge = _min_edge_distance(hull, xs, ys)
+            band = np.clip(1.0 - d_edge / max(dilate_dist, 1e-9), 0.0, 1.0)
+            # (b) inside ramp
+            ramp = np.where(inside, t, 0.0)
+            border[y0:y1, x0:x1] = np.fmax(
+                border[y0:y1, x0:x1],
+                np.fmax(band, ramp).astype(np.float32),
+            )
+
+            center[y0:y1, x0:x1] = np.fmax(
+                center[y0:y1, x0:x1],
+                np.where(inside, 1.0 - t, 0.0).astype(np.float32),
+            )
+
+            size_inst = _triangle_fan_sizes(hull, o, xs, ys)
+            sizes[y0:y1, x0:x1] = np.fmax(sizes[y0:y1, x0:x1], size_inst)
+        return border, center, sizes
+
+    def border_masks(self, mask_size: Tuple[int, int]
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """(border, sizes) pair — see masks()."""
+        border, _, sizes = self.masks(mask_size)
         return border, sizes
