@@ -5,11 +5,14 @@ fixed-shape equivalent of the reference's 800x1333 eval,
 synchronized pure-compute timing).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+   "train_img_s": N}
 
 vs_baseline is measured against A100_FCOS_R50_IMG_S — detectron2-style FCOS
 R-50 inference on A100 (~40 img/s, fp16, batch 1); the BASELINE.md target is
->2x that, i.e. vs_baseline > 2.0.
+>2x that, i.e. vs_baseline > 2.0. train_img_s is the full FCOS train step
+(fwd + bwd + SGD update) throughput at the reference 1x recipe's 16-image
+global batch on one chip.
 """
 
 import json
@@ -17,8 +20,57 @@ import time
 
 A100_FCOS_R50_IMG_S = 40.0
 BATCH = 32
+TRAIN_BATCH = 16
 WARMUP = 3
 ITERS = 10
+TRAIN_ITERS = 5
+
+
+def _bench_train(cfg, det, h, w):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from slenderobjdet_tpu.engine.train_loop import (
+        TrainState,
+        make_train_step,
+    )
+    from slenderobjdet_tpu.solver import build_optimizer
+
+    variables = det.init_variables(jax.random.PRNGKey(1), (h, w),
+                                   batch_size=TRAIN_BATCH)
+    tx = build_optimizer(cfg, variables["params"])
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        buffers=variables.get("buffers", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    step = make_train_step(det, tx)
+
+    r = np.random.RandomState(1)
+    g = 24
+    xy = r.rand(TRAIN_BATCH, g, 2).astype(np.float32) * (w / 2)
+    wh = r.rand(TRAIN_BATCH, g, 2).astype(np.float32) * 150 + 8
+    batch = {
+        "image": jnp.asarray(
+            r.randint(0, 255, (TRAIN_BATCH, h, w, 3)), jnp.uint8),
+        "gt_boxes": jnp.asarray(np.concatenate([xy, xy + wh], axis=2)),
+        "gt_classes": jnp.asarray(r.randint(0, 80, (TRAIN_BATCH, g)), jnp.int32),
+        "gt_valid": jnp.ones((TRAIN_BATCH, g), bool),
+    }
+
+    for _ in range(2):  # compile + warm
+        state, metrics = step(state, batch)
+        float(metrics["total_loss"])  # force execution (axon tunnel)
+
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_ITERS):
+        state, metrics = step(state, batch)
+        float(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+    return TRAIN_BATCH * TRAIN_ITERS / dt
 
 
 def main():
@@ -55,13 +107,17 @@ def main():
         out = predict(variables, batch)
         np.asarray(out["scores"])
     dt = time.perf_counter() - t0
-
     img_s = BATCH * ITERS / dt
+
+    del variables, batch
+    train_img_s = _bench_train(cfg, det, h, w)
+
     print(json.dumps({
         "metric": "fcos_r50_fpn_inference_800x1344",
         "value": round(img_s, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / A100_FCOS_R50_IMG_S, 3),
+        "train_img_s": round(train_img_s, 2),
     }))
 
 

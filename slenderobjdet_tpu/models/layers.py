@@ -115,8 +115,10 @@ class DFConv2d(nn.Module):
                             (9, cin, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
+        # gather in the compute dtype (bandwidth-bound); fp32 accumulation
+        # happens inside the deform-conv matmul
         return deform_conv2d_batched(
-            x.astype(jnp.float32), rel + base, weight, bias, mask
+            x, rel + base, weight, bias, mask
         ).astype(self.dtype)
 
 

@@ -34,7 +34,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.deform_conv import deform_conv2d_batched
+from ...ops.deform_conv import (
+    deform_apply,
+    deform_conv2d_batched,
+    deform_sample_batched,
+)
 from ...ops.losses import sigmoid_focal_loss, smooth_l1_loss
 from ...ops.nms import batched_nms
 from ...structures import boxes as box_ops
@@ -51,18 +55,24 @@ class DeformConvLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, offsets):
-        """x (B,H,W,Cin); offsets (B,H,W,K,2) (dy,dx) absolute."""
+    def __call__(self, x, offsets=None, samples=None):
+        """x (B,H,W,Cin); offsets (B,H,W,K,2) (dy,dx) absolute. When
+        `samples` (B,H,W,K,Cin) is precomputed (shared gather across several
+        deform convs at the same offsets), only the MXU matmul runs here."""
         k = self.kernel * self.kernel
-        cin = x.shape[-1]
+        cin = x.shape[-1] if samples is None else samples.shape[-1]
         weight = self.param(
             "weight", nn.initializers.normal(stddev=0.01),
             (k, cin, self.features), jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
+        if samples is not None:
+            return deform_apply(samples, weight, bias, out_dtype=self.dtype)
+        # features stay in the compute dtype: the bilinear gather is
+        # HBM-bandwidth-bound, bf16 halves the traffic (offsets fp32)
         return deform_conv2d_batched(
-            x.astype(jnp.float32), offsets.astype(jnp.float32), weight, bias
+            x, offsets.astype(jnp.float32), weight, bias
         ).astype(self.dtype)
 
 
@@ -134,8 +144,15 @@ class RepPointsHead(nn.Module):
             pts = gm.reshape(b, h, w, P, 2)
             sample_off = pts[..., ::-1]                       # (dy,dx)
 
-            dc = deform_cls(cf, sample_off)
-            dr = deform_reg(rf, sample_off)
+            # the cls/reg deform convs sample the SAME positions
+            # (rpd.py:641-645): gather ONCE from the channel-concat features
+            # (wider rows halve the row count of the bandwidth-bound gather)
+            C = cf.shape[-1]
+            cat = jnp.concatenate([cf, rf], axis=-1)
+            samples = deform_sample_batched(
+                cat, sample_off.astype(jnp.float32))          # (B,H,W,K,2C)
+            dc = deform_cls(cf, samples=samples[..., :C])
+            dr = deform_reg(rf, samples=samples[..., C:])
 
             logits = logits_out(nn.relu(dc)).astype(jnp.float32)
             off_refine = off_refine_out(nn.relu(dr)).astype(jnp.float32)

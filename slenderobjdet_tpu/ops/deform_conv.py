@@ -38,12 +38,18 @@ def kernel_base_offsets(kernel_size: int = 3) -> np.ndarray:
 
 
 def _gather_bilinear_zeropad(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
-    """feat (H, W, C); ys/xs (...,) -> (..., C); zero outside the image."""
+    """feat (H, W, C); ys/xs (...,) -> (..., C); zero outside the image.
+
+    The gather is HBM-bandwidth-bound (each tap reads a full C-row); it runs
+    in feat's OWN dtype (bf16 halves the traffic vs the old fp32 upcast) and
+    the interpolation weights are applied in that dtype too — the following
+    MXU matmul accumulates in fp32."""
     h, w, _ = feat.shape
     y0f = jnp.floor(ys)
     x0f = jnp.floor(xs)
-    ly = (ys - y0f)[..., None]
-    lx = (xs - x0f)[..., None]
+    ly = (ys - y0f)[..., None].astype(feat.dtype)
+    lx = (xs - x0f)[..., None].astype(feat.dtype)
+    one = jnp.ones((), feat.dtype)
     y0 = y0f.astype(jnp.int32)
     x0 = x0f.astype(jnp.int32)
 
@@ -53,12 +59,12 @@ def _gather_bilinear_zeropad(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
         inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
         idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
         vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(*idx.shape, -1)
-        return vals * (wgt * inside[..., None])
+        return vals * (wgt * inside[..., None].astype(feat.dtype))
 
     return (
-        tap(y0, x0, (1 - ly) * (1 - lx))
-        + tap(y0, x0 + 1, (1 - ly) * lx)
-        + tap(y0 + 1, x0, ly * (1 - lx))
+        tap(y0, x0, (one - ly) * (one - lx))
+        + tap(y0, x0 + 1, (one - ly) * lx)
+        + tap(y0 + 1, x0, ly * (one - lx))
         + tap(y0 + 1, x0 + 1, ly * lx)
     )
 
@@ -79,11 +85,11 @@ def deform_conv2d(
 
     samples = _gather_bilinear_zeropad(x, yy, xx)        # (H, W, K, Cin)
     if mask is not None:
-        samples = samples * mask[..., None]
+        samples = samples * mask[..., None].astype(samples.dtype)
 
     out = jax.lax.dot_general(
         samples.reshape(h * w, k * cin),
-        weight.reshape(k * cin, -1),
+        weight.reshape(k * cin, -1).astype(samples.dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(h, w, -1)
@@ -100,3 +106,37 @@ def deform_conv2d_batched(x, offsets, weight, bias=None, mask=None):
             x, offsets
         )
     return jax.vmap(fn)(x, offsets, mask)
+
+
+def deform_sample(x: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling only: (H, W, Cin) x (H, W, K, 2) -> (H, W, K, Cin).
+
+    Lets callers that apply several deformable convs AT THE SAME OFFSETS
+    (e.g. RepPoints' deform_cls/deform_reg pair, rpd.py:641-645) gather ONCE
+    from the channel-concatenated features: the gather is the
+    bandwidth-bound part, and wider rows gather faster on TPU."""
+    h, w, _ = x.shape
+    yy = jnp.arange(h, dtype=offsets.dtype)[:, None, None] + offsets[..., 0]
+    xx = jnp.arange(w, dtype=offsets.dtype)[None, :, None] + offsets[..., 1]
+    return _gather_bilinear_zeropad(x, yy, xx)
+
+
+def deform_sample_batched(x, offsets):
+    return jax.vmap(deform_sample)(x, offsets)
+
+
+def deform_apply(samples: jnp.ndarray, weight: jnp.ndarray,
+                 bias: Optional[jnp.ndarray] = None,
+                 out_dtype=None) -> jnp.ndarray:
+    """(B, H, W, K, Cin) samples x (K, Cin, Cout) -> (B, H, W, Cout): the MXU
+    half of the deformable conv (fp32 accumulation)."""
+    b, h, w, k, cin = samples.shape
+    out = jax.lax.dot_general(
+        samples.reshape(b * h * w, k * cin),
+        weight.reshape(k * cin, -1).astype(samples.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(b, h, w, -1)
+    if bias is not None:
+        out = out + bias
+    return out.astype(out_dtype or samples.dtype)

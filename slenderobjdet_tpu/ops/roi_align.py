@@ -64,21 +64,83 @@ def roi_align(
     Rois are processed in fixed chunks via lax.map: the bilinear gather
     materializes 4 tap tensors of (chunk, P*S*P*S, C); chunking keeps that
     transient bounded (~100MB) instead of O(N) (512 rois x 4 levels
-    concurrently scheduled by XLA blew past HBM at batch 8)."""
+    concurrently scheduled by XLA blew past HBM at batch 8).
+
+    Backward: custom VJP (below) — the feature gradient is computed as the
+    separable MATMUL adjoint einsum(Wy, dPooled, Wx) instead of XLA's
+    scatter-add transpose of the gather, which dominated the R-CNN train
+    step (~1.8s at 256px; SURVEY §7.3 / VERDICT round-1 weak #5)."""
+    core = _roi_align_vjp_factory(spatial_scale, output_size, sampling_ratio,
+                                  feat.shape, feat.dtype)
     n = rois.shape[0]
     if n > roi_chunk:
         pad = (-n) % roi_chunk
         padded = jnp.pad(rois, ((0, pad), (0, 0)))
         chunks = padded.reshape((n + pad) // roi_chunk, roi_chunk, 4)
-        out = jax.lax.map(
-            lambda r: _roi_align_impl(feat, r, spatial_scale, output_size,
-                                      sampling_ratio),
-            chunks,
-        )
+        out = jax.lax.map(lambda r: core(feat, r), chunks)
         out = out.reshape(n + pad, output_size, output_size, feat.shape[-1])
         return out[:n]
-    return _roi_align_impl(feat, rois, spatial_scale, output_size,
-                           sampling_ratio)
+    return core(feat, rois)
+
+
+def _sample_grid(rois, spatial_scale, P, S):
+    """(N, P, S) per-axis sample coordinates (aligned=True semantics)."""
+    rois = rois * spatial_scale
+    x1 = rois[:, 0] - 0.5
+    y1 = rois[:, 1] - 0.5
+    roi_w = rois[:, 2] - 0.5 - x1
+    roi_h = rois[:, 3] - 0.5 - y1
+    ps = (jnp.arange(P)[:, None] + (jnp.arange(S)[None, :] + 0.5) / S)
+    ys = y1[:, None, None] + ps[None] * (roi_h / P)[:, None, None]
+    xs = x1[:, None, None] + ps[None] * (roi_w / P)[:, None, None]
+    return ys, xs
+
+
+def _bin_weight_matrix(coords, size, S):
+    """(N, P, S) sample coordinates -> (N, P, size) dense bilinear weights
+    per output bin (sample average folded in): W[n, p, i] = (1/S) * sum_s
+    bilinear weight of feature index i for sample (n, p, s), with the same
+    border clamping as the forward gather."""
+    c0 = jnp.floor(coords)
+    frac = coords - c0
+    i0 = jnp.clip(c0.astype(jnp.int32), 0, size - 1)
+    i1 = jnp.clip(i0 + 1, 0, size - 1)
+    idx = jnp.arange(size, dtype=jnp.int32)
+    w0 = (1.0 - frac)[..., None] * (i0[..., None] == idx)
+    w1 = frac[..., None] * (i1[..., None] == idx)
+    return (w0 + w1).sum(axis=2) / S            # (N, P, size)
+
+
+def _roi_align_vjp_factory(spatial_scale, output_size, sampling_ratio,
+                           feat_shape, feat_dtype):
+    @jax.custom_vjp
+    def core(feat, rois):
+        return _roi_align_impl(feat, rois, spatial_scale, output_size,
+                               sampling_ratio)
+
+    def fwd(feat, rois):
+        return core(feat, rois), rois
+
+    def bwd(rois, g):
+        H, W, C = feat_shape
+        P, S = output_size, sampling_ratio
+        ys, xs = _sample_grid(rois, spatial_scale, P, S)
+        wy = _bin_weight_matrix(ys, H, S)        # (N, P, H)
+        wx = _bin_weight_matrix(xs, W, S)        # (N, P, W)
+        # grad_feat[h, w, c] = sum_{n,p,q} wy[n,p,h] g[n,p,q,c] wx[n,q,w]
+        # two MXU matmuls. In the bf16 production path the (N, P, W, C)
+        # transient is stored in bf16 (fp32 final accumulation); the fp32
+        # path stays exact (it is the adjoint of the forward gather).
+        mul_dtype = (jnp.bfloat16 if feat_dtype == jnp.bfloat16
+                     else jnp.float32)
+        t = jnp.einsum("npqc,nqw->npwc", g.astype(mul_dtype),
+                       wx.astype(mul_dtype), preferred_element_type=mul_dtype)
+        gf = jnp.einsum("nph,npwc->hwc", wy.astype(mul_dtype), t,
+                        preferred_element_type=jnp.float32)
+        return gf.astype(feat_dtype), jnp.zeros_like(rois)
+
+    core.defvjp(fwd, bwd)
+    return core
 
 
 def _roi_align_impl(

@@ -228,3 +228,154 @@ def test_tta_flip_geometry():
     expected = np.array([5, 20, 25, 40], np.float32)
     for b in out["boxes"]:
         assert np.abs(b - expected).max() < 3.0, (b, expected)
+
+
+@pytest.fixture(scope="module")
+def proposal_pkl(artifacts):
+    """box_proposals.pkl in the reference schema, aligned with artifacts."""
+    import pickle
+
+    rng = np.random.RandomState(1)
+    ids, boxes, anchors, logits = [], [], [], []
+    for img_id in (1, 2, 3, 4):
+        n = 6
+        b = rng.rand(n, 4).astype(np.float32) * 40
+        b[:, 2:] += b[:, :2] + 10
+        ids.append(img_id)
+        boxes.append(b)
+        anchors.append(b + 2.0)
+        logits.append(rng.randn(n).astype(np.float32) + 2.0)
+    path = os.path.join(artifacts["dir"], "box_proposals.pkl")
+    with open(path, "wb") as f:
+        pickle.dump({"ids": ids, "boxes": boxes, "anchors": anchors,
+                     "objectness_logits": logits,
+                     "bbox_mode": "XYXY_ABS"}, f)
+    return path
+
+
+def test_visualize_json_results(artifacts):
+    out_dir = os.path.join(artifacts["dir"], "vis_json")
+    out = run_tool(["tools/visualize_json_results.py",
+                    "--result", artifacts["results"],
+                    "--gt-json", artifacts["gt"],
+                    "--image-root", artifacts["root"],
+                    "--output", out_dir, "--conf-threshold", "0.0"])
+    assert "comparisons" in out
+    assert len(os.listdir(out_dir)) > 0
+
+
+def test_visualize_proposals(artifacts, proposal_pkl):
+    out_dir = os.path.join(artifacts["dir"], "vis_props")
+    run_tool(["tools/visualize_proposals.py",
+              "--proposal", proposal_pkl,
+              "--result", artifacts["results"],
+              "--gt-json", artifacts["gt"],
+              "--image-root", artifacts["root"],
+              "--output", out_dir, "--conf-threshold", "0.0",
+              "--proposal-threshold", "0.1"])
+    assert len(os.listdir(out_dir)) > 0
+
+
+def test_result_statistic(artifacts):
+    out_pkl = os.path.join(artifacts["dir"], "restat.pkl")
+    out = run_tool(["tools/result_statistic.py",
+                    "--prediction", artifacts["results"],
+                    "--gt-json", artifacts["gt"], "--out", out_pkl])
+    assert "[bbox]" in out and os.path.exists(out_pkl)
+    import pickle
+
+    with open(out_pkl, "rb") as f:
+        metrics = pickle.load(f)
+    assert np.isfinite(metrics["bbox"]["AP"])
+    assert metrics["bbox"]["AP"] > 10  # jittered gt should score well
+
+
+def test_watch_evaluate(artifacts):
+    out = run_tool(["tools/watch_evaluate.py",
+                    "--watch-dir", artifacts["dir"],
+                    "--gt-json", artifacts["gt"], "--once"])
+    assert "evaluating" in out
+    assert os.path.exists(artifacts["results"] + ".evaluated")
+
+
+def test_visulize_iou(artifacts):
+    out_dir = os.path.join(artifacts["dir"], "vis_iou")
+    out = run_tool(["tools/visulize_iou.py", "--out-dir", out_dir])
+    assert len([f for f in os.listdir(out_dir) if f.endswith(".png")]) == 2
+
+
+def test_plot(artifacts):
+    out_png = os.path.join(artifacts["dir"], "paper_plot.png")
+    # hardcoded reference numbers + one metrics json overlay
+    metrics_path = os.path.join(artifacts["dir"], "em.json")
+    with open(metrics_path, "w") as f:
+        json.dump({"bbox": {"AP": 40.0, "AP-0-1/5": 30.0,
+                            "AP-1/5-1/3": 35.0, "AP-1/3-3": 42.0},
+                   "ar": {"AR@100": 55.0, "mAR@100": 50.0}}, f)
+    run_tool(["tools/plot.py", "--out", out_png,
+              "--metrics-json", f"ours-50={metrics_path}"])
+    assert os.path.exists(out_png)
+
+
+def test_visualize_data_annotation(artifacts):
+    out_dir = os.path.join(artifacts["dir"], "vis_ann")
+    out = run_tool(["tools/visualize_data.py", "--source", "annotation",
+                    "--gt-json", artifacts["gt"],
+                    "--image-root", artifacts["root"],
+                    "--output-dir", out_dir])
+    assert "all" in out and "problematic" in out
+    assert len(os.listdir(out_dir)) > 0
+
+
+def test_visualize_data_dataloader(artifacts):
+    out_dir = os.path.join(artifacts["dir"], "vis_dl")
+    run_tool(["tools/visualize_data.py", "--source", "dataloader",
+              "--gt-json", artifacts["gt"],
+              "--image-root", artifacts["root"],
+              "--output-dir", out_dir, "--max-images", "2"])
+    assert len(os.listdir(out_dir)) > 0
+
+
+def _tiny_yaml(artifacts, meta_arch, extra=""):
+    path = os.path.join(artifacts["dir"], f"tiny_{meta_arch}.yaml")
+    with open(path, "w") as f:
+        f.write(f"""
+MODEL:
+  META_ARCHITECTURE: "{meta_arch}"
+  BACKBONE:
+    NAME: "build_retinanet_resnet_fpn_backbone_use_p5"
+  RESNETS:
+    DEPTH: 18
+    OUT_FEATURES: ["res3", "res4", "res5"]
+  FPN:
+    IN_FEATURES: ["res3", "res4", "res5"]
+INPUT:
+  MIN_SIZE_TEST: 64
+  MAX_SIZE_TEST: 128
+TPU:
+  COMPUTE_DTYPE: "float32"
+{extra}""")
+    return path
+
+
+def test_vis_feat_adaption_end_to_end(artifacts):
+    cfg = _tiny_yaml(artifacts, "RepPointsDetector")
+    out_dir = os.path.join(artifacts["dir"], "vis_adapt")
+    out = run_tool(["tools/vis_feat_adaption.py", "--config-file", cfg,
+                    "--gt-json", artifacts["gt"],
+                    "--image-root", artifacts["root"],
+                    "--out-dir", out_dir, "--num-images", "1",
+                    "--top-locations", "5"])
+    assert "feature-adaption views" in out
+    assert len(os.listdir(out_dir)) == 1
+
+
+def test_inference_obj365_end_to_end(artifacts):
+    cfg = _tiny_yaml(artifacts, "FCOS")
+    out_dir = os.path.join(artifacts["dir"], "obj365_out")
+    out = run_tool(["tools/inference_obj365.py", "--config-file", cfg,
+                    "--gt-json", artifacts["gt"],
+                    "--image-root", artifacts["root"],
+                    "--out-dir", out_dir, "--max-images", "2",
+                    "--batch-size", "2", "--chunk", "2"])
+    assert os.path.exists(os.path.join(out_dir, "obj365_metrics.json"))
