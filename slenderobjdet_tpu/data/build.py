@@ -8,15 +8,19 @@ Counterpart of `slender_det/data/build.py:40-88`:
   0.5 if <1/3, else 0.1 — implemented as repeat factor 1+f)
 - aspect-ratio (orientation) bucketing: batches are emitted per bucket so
   each maps to one of two compiled shapes (landscape/portrait)
-- a one-thread prefetcher (this host has a single core; heavier parallel
-  decode belongs to the native C++ loader planned in ops/csrc)
+- DATALOADER.NUM_WORKERS > 1 fans the mapper out over forked worker
+  processes (the counterpart of torch DataLoader workers the reference
+  relies on, SURVEY §2.8) with order-preserving reassembly; <= 1 keeps the
+  single-thread prefetcher (this CI host has one core)
 
 Batches are dicts of stacked numpy arrays + host-side lists (image ids).
 """
 
 from __future__ import annotations
 
+import heapq
 import itertools
+import multiprocessing
 import queue
 import threading
 from typing import Dict, Iterator, List, Optional
@@ -25,6 +29,79 @@ import numpy as np
 
 from .catalog import DatasetCatalog, MetadataCatalog
 from .mapper import DatasetMapper
+
+
+# --------------------------------------------------------- worker-pool mapper
+def _mp_worker(dataset_dicts, mapper, seed, task_q, res_q):
+    while True:
+        item = task_q.get()
+        if item is None:
+            break
+        seq, idx = item
+        # per-example rng keyed by the global sequence number so results are
+        # independent of which worker handles the example
+        rng = np.random.default_rng((seed, seq))
+        try:
+            ex = mapper(dataset_dicts[idx], rng=rng)
+            res_q.put((seq, ex))
+        except Exception as e:  # surface the error in the parent
+            res_q.put((seq, e))
+
+
+def mp_map_stream(dataset_dicts, mapper, idx_iter, num_workers: int,
+                  seed: int = 0, depth: int = 4):
+    """Yields mapper(dataset_dicts[idx]) for idx in idx_iter, mapped by
+    `num_workers` forked processes, in the SAME order as idx_iter.
+
+    Fork start method: workers inherit dataset_dicts/mapper copy-on-write
+    (no per-task pickling of the dataset); only results cross the queue.
+    Workers are daemonic and die with the parent."""
+    ctx = multiprocessing.get_context("fork")
+    task_q = ctx.Queue(maxsize=num_workers * depth)
+    res_q = ctx.Queue(maxsize=num_workers * depth)
+    workers = [
+        ctx.Process(target=_mp_worker,
+                    args=(dataset_dicts, mapper, seed, task_q, res_q),
+                    daemon=True)
+        for _ in range(num_workers)
+    ]
+    for w in workers:
+        w.start()
+
+    stop = threading.Event()
+    n_sent = [0]
+
+    def feeder():
+        for seq, idx in enumerate(idx_iter):
+            if stop.is_set():
+                break
+            task_q.put((seq, idx))
+            n_sent[0] = seq + 1
+        for _ in workers:
+            task_q.put(None)
+        n_sent.append(True)  # marks "feeder finished" for finite streams
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+
+    try:
+        next_seq = 0
+        pending: list = []
+        while True:
+            if len(n_sent) > 1 and next_seq >= n_sent[0]:
+                break  # finite stream drained
+            seq, ex = res_q.get()
+            if isinstance(ex, Exception):
+                raise ex
+            heapq.heappush(pending, (seq, id(ex), ex))
+            while pending and pending[0][0] == next_seq:
+                _, _, ready = heapq.heappop(pending)
+                yield ready
+                next_seq += 1
+    finally:
+        stop.set()
+        for w in workers:
+            w.terminate()
 
 
 # ------------------------------------------------------------------ samplers
@@ -153,11 +230,17 @@ def build_detection_train_loader(cfg, mapper: Optional[DatasetMapper] = None,
     else:
         raise ValueError(f"Unknown sampler {sampler_name!r}")
 
+    num_workers = cfg.DATALOADER.NUM_WORKERS
+
     def gen():
-        g = np.random.default_rng(seed + 1)
+        if num_workers > 1:
+            examples = mp_map_stream(dataset_dicts, mapper, sampler,
+                                     num_workers, seed=seed + 1)
+        else:
+            g = np.random.default_rng(seed + 1)
+            examples = (mapper(dataset_dicts[idx], rng=g) for idx in sampler)
         buckets: Dict[bool, List[Dict]] = {True: [], False: []}
-        for idx in sampler:
-            ex = mapper(dataset_dicts[idx], rng=g)
+        for ex in examples:
             is_landscape = ex["image"].shape[1] >= ex["image"].shape[0]
             buckets[is_landscape].append(ex)
             if len(buckets[is_landscape]) == batch_size:
@@ -173,12 +256,17 @@ def build_detection_test_loader(cfg, dataset_name: str, batch_size: int = 1,
     images, padding the final partial batch with repeats + a validity list."""
     dataset_dicts = get_detection_dataset_dicts(dataset_name)
     mapper = mapper or DatasetMapper(cfg, is_train=False)
+    num_workers = cfg.DATALOADER.NUM_WORKERS
 
     def gen():
-        g = np.random.default_rng(0)
+        if num_workers > 1:
+            examples = mp_map_stream(dataset_dicts, mapper,
+                                     range(len(dataset_dicts)), num_workers)
+        else:
+            g = np.random.default_rng(0)
+            examples = (mapper(d, rng=g) for d in dataset_dicts)
         buckets: Dict[bool, List[Dict]] = {True: [], False: []}
-        for d in dataset_dicts:
-            ex = mapper(d, rng=g)
+        for ex in examples:
             is_landscape = ex["image"].shape[1] >= ex["image"].shape[0]
             buckets[is_landscape].append(ex)
             if len(buckets[is_landscape]) == batch_size:

@@ -44,10 +44,10 @@ def artifacts(tmp_path_factory):
             "metrics": metrics_path, "dir": str(tmpdir)}
 
 
-def run_tool(args):
+def run_tool(args, timeout=300):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run([sys.executable] + args, cwd=REPO, env=env,
-                       capture_output=True, text=True, timeout=300)
+                       capture_output=True, text=True, timeout=timeout)
     assert r.returncode == 0, (args, r.stdout[-2000:], r.stderr[-2000:])
     return r.stdout
 
@@ -379,3 +379,16 @@ def test_inference_obj365_end_to_end(artifacts):
                     "--out-dir", out_dir, "--max-images", "2",
                     "--batch-size", "2", "--chunk", "2"])
     assert os.path.exists(os.path.join(out_dir, "obj365_metrics.json"))
+
+
+def test_coco_rehearsal_dry_run(tmp_path):
+    """The real-COCO rehearsal harness must dry-run the full 1x recipe path
+    (register -> train -> checkpoint -> slender eval) on synthetic data."""
+    out_dir = os.path.join(str(tmp_path), "rehearsal")
+    out = run_tool(["tools/coco_rehearsal.py", "--dry-run",
+                    "--config-file", "configs/fcos/fcos_R_50_FPN_1x.yaml",
+                    "--output-dir", out_dir,
+                    "SOLVER.MAX_ITER", "8", "SOLVER.STEPS", "(5, 7)"],
+                   timeout=560)
+    assert "dry-run complete" in out
+    assert os.path.exists(os.path.join(out_dir, "metrics.json"))
