@@ -106,7 +106,14 @@ class BaseTrainer:
         data_t0 = time.perf_counter()
 
         rng_base = jax.random.PRNGKey(max(cfg.SEED, 0) + 7919)
+        profile_start = cfg.TPU.PROFILE_START_ITER
+        profile_stop = profile_start + cfg.TPU.PROFILE_NUM_ITERS
         for i in range(self.start_iter, self.max_iter):
+            if i == profile_start:
+                jax.profiler.start_trace(
+                    os.path.join(cfg.OUTPUT_DIR, "profile"))
+                logger.info("jax.profiler trace started (iters %d..%d)",
+                            profile_start, profile_stop - 1)
             host_batch = next(it)
             batch = {
                 k: v for k, v in host_batch.items()
@@ -123,6 +130,12 @@ class BaseTrainer:
             data_time = time.perf_counter() - data_t0
 
             self.state, metrics = self.train_step(self.state, batch)
+
+            if profile_start >= 0 and i + 1 == profile_stop:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                logger.info("jax.profiler trace written to %s",
+                            os.path.join(cfg.OUTPUT_DIR, "profile"))
 
             if (i + 1) % 20 == 0 or i == self.start_iter:
                 fetched = {k: float(v) for k, v in metrics.items()}

@@ -73,3 +73,44 @@ def test_trainer_train_and_eval(trainer_env):
     results = trainer2.test()
     assert name in results
     assert "bbox" in results[name]
+
+
+def test_profiler_trace_window(tmp_path):
+    """TPU.PROFILE_START_ITER enables a jax.profiler trace window during
+    training (the tracing/profiling aux subsystem, SURVEY §5)."""
+    import glob
+
+    from conftest import make_tiny_cfg
+    from slenderobjdet_tpu.data import DatasetCatalog
+    from slenderobjdet_tpu.data.datasets import register_coco_instances
+    from slenderobjdet_tpu.engine.trainer import BaseTrainer
+    from synthetic import make_coco_json
+
+    gt_json, image_root = make_coco_json(tmp_path, num_images=2,
+                                         img_hw=(64, 64))
+    name = "synth_profile"
+    if name in DatasetCatalog:
+        DatasetCatalog.remove(name)
+    register_coco_instances(name, gt_json, image_root)
+
+    cfg = make_tiny_cfg()
+    cfg.DATASETS.TRAIN = (name,)
+    cfg.DATASETS.TEST = ()
+    cfg.SOLVER.MAX_ITER = 4
+    cfg.SOLVER.IMS_PER_BATCH = 1
+    cfg.INPUT.MIN_SIZE_TRAIN = (64,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 64
+    cfg.TPU.MAX_GT_PER_IMAGE = 8
+    cfg.TPU.PROFILE_START_ITER = 1
+    cfg.TPU.PROFILE_NUM_ITERS = 2
+    cfg.DATALOADER.NUM_WORKERS = 0
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.freeze()
+
+    trainer = BaseTrainer(cfg)
+    trainer.train()
+    traces = glob.glob(str(tmp_path / "out" / "profile" / "**" / "*.pb"),
+                       recursive=True) + glob.glob(
+        str(tmp_path / "out" / "profile" / "**" / "*.json.gz"),
+        recursive=True)
+    assert traces, "no profiler artifacts written"
