@@ -80,7 +80,21 @@ class BaseTrainer:
         else:
             self.mesh = None
         if self.mesh is not None:
-            self.state = replicate(self.state, self.mesh)
+            if cfg.TPU.MESH_MODEL > 1:
+                # tensor parallelism: wide conv/dense output channels shard
+                # over 'model' (the dryrun_multichip layout); optimizer
+                # moments inherit the param shardings at init below
+                from ..parallel.mesh import channel_sharded_params
+
+                params = channel_sharded_params(self.state.params, self.mesh)
+                self.state = TrainState(
+                    step=replicate(self.state.step, self.mesh),
+                    params=params,
+                    buffers=replicate(self.state.buffers, self.mesh),
+                    opt_state=self.tx.init(params),
+                )
+            else:
+                self.state = replicate(self.state, self.mesh)
         self.train_step = make_train_step(
             self.detector, self.tx, mesh=self.mesh, donate=cfg.TPU.DONATE
         )
