@@ -8,19 +8,17 @@ Counterpart of `slender_det/data/build.py:40-88`:
   0.5 if <1/3, else 0.1 — implemented as repeat factor 1+f)
 - aspect-ratio (orientation) bucketing: batches are emitted per bucket so
   each maps to one of two compiled shapes (landscape/portrait)
-- DATALOADER.NUM_WORKERS > 1 fans the mapper out over forked worker
-  processes (the counterpart of torch DataLoader workers the reference
-  relies on, SURVEY §2.8) with order-preserving reassembly; <= 1 keeps the
-  single-thread prefetcher (this CI host has one core)
+- DATALOADER.NUM_WORKERS > 1 fans the mapper out over a worker THREAD pool
+  (the counterpart of torch DataLoader workers the reference relies on,
+  SURVEY §2.8) with order-preserving results; cv2/numpy release the GIL for
+  the expensive decode/resize work. <= 1 keeps the single-thread prefetcher
 
 Batches are dicts of stacked numpy arrays + host-side lists (image ids).
 """
 
 from __future__ import annotations
 
-import heapq
 import itertools
-import multiprocessing
 import queue
 import threading
 from typing import Dict, Iterator, List, Optional
@@ -32,76 +30,36 @@ from .mapper import DatasetMapper
 
 
 # --------------------------------------------------------- worker-pool mapper
-def _mp_worker(dataset_dicts, mapper, seed, task_q, res_q):
-    while True:
-        item = task_q.get()
-        if item is None:
-            break
-        seq, idx = item
-        # per-example rng keyed by the global sequence number so results are
-        # independent of which worker handles the example
-        rng = np.random.default_rng((seed, seq))
-        try:
-            ex = mapper(dataset_dicts[idx], rng=rng)
-            res_q.put((seq, ex))
-        except Exception as e:  # surface the error in the parent
-            res_q.put((seq, e))
-
-
 def mp_map_stream(dataset_dicts, mapper, idx_iter, num_workers: int,
                   seed: int = 0, depth: int = 4):
-    """Yields mapper(dataset_dicts[idx]) for idx in idx_iter, mapped by
-    `num_workers` forked processes, in the SAME order as idx_iter.
+    """Yields mapper(dataset_dicts[idx]) for idx in idx_iter, mapped by a
+    pool of `num_workers` THREADS, in the SAME order as idx_iter.
 
-    Fork start method: workers inherit dataset_dicts/mapper copy-on-write
-    (no per-task pickling of the dataset); only results cross the queue.
-    Workers are daemonic and die with the parent."""
-    ctx = multiprocessing.get_context("fork")
-    task_q = ctx.Queue(maxsize=num_workers * depth)
-    res_q = ctx.Queue(maxsize=num_workers * depth)
-    workers = [
-        ctx.Process(target=_mp_worker,
-                    args=(dataset_dicts, mapper, seed, task_q, res_q),
-                    daemon=True)
-        for _ in range(num_workers)
-    ]
-    for w in workers:
-        w.start()
+    Threads, not forked processes: the mapper's expensive work — cv2 decode,
+    resize, numpy map rendering — runs in C with the GIL released, so a
+    thread pool parallelizes it on a multi-core host, while fork() from a
+    multi-threaded jax process deadlocks children on inherited locks (hit in
+    practice: the forked-worker version froze the test suite). Each example
+    gets an rng keyed by its global sequence number, so results are
+    independent of which worker maps it."""
+    from concurrent.futures import ThreadPoolExecutor
 
-    stop = threading.Event()
-    n_sent = [0]
+    def run_one(seq_idx):
+        seq, idx = seq_idx
+        rng = np.random.default_rng((seed, seq))
+        return mapper(dataset_dicts[idx], rng=rng)
 
-    def feeder():
-        for seq, idx in enumerate(idx_iter):
-            if stop.is_set():
-                break
-            task_q.put((seq, idx))
-            n_sent[0] = seq + 1
-        for _ in workers:
-            task_q.put(None)
-        n_sent.append(True)  # marks "feeder finished" for finite streams
-
-    t = threading.Thread(target=feeder, daemon=True)
-    t.start()
-
-    try:
-        next_seq = 0
-        pending: list = []
-        while True:
-            if len(n_sent) > 1 and next_seq >= n_sent[0]:
-                break  # finite stream drained
-            seq, ex = res_q.get()
-            if isinstance(ex, Exception):
-                raise ex
-            heapq.heappush(pending, (seq, id(ex), ex))
-            while pending and pending[0][0] == next_seq:
-                _, _, ready = heapq.heappop(pending)
-                yield ready
-                next_seq += 1
-    finally:
-        stop.set()
-        for w in workers:
-            w.terminate()
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        pending: "queue.Queue" = queue.Queue()
+        it = enumerate(idx_iter)
+        # keep num_workers * depth examples in flight
+        for item in itertools.islice(it, num_workers * depth):
+            pending.put(pool.submit(run_one, item))
+        while not pending.empty():
+            fut = pending.get()
+            for item in itertools.islice(it, 1):
+                pending.put(pool.submit(run_one, item))
+            yield fut.result()
 
 
 # ------------------------------------------------------------------ samplers

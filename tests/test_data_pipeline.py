@@ -120,7 +120,7 @@ def test_oracle_evaluator_end_to_end(synth_dataset):
 
 
 def test_multiprocess_loader_matches_single(synth_dataset):
-    """NUM_WORKERS>1 fans the mapper over forked workers with
+    """NUM_WORKERS>1 fans the mapper over pool workers with
     order-preserving reassembly — test-time output must be bit-identical to
     the single-process path."""
     cfg1 = small_cfg()
