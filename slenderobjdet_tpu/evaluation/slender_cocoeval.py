@@ -141,14 +141,86 @@ class SlenderCOCOeval:
             for catId in catIds
         }
         maxDet = p.maxDets[-1]
-        self.evalImgs = [
-            self.evaluateImg(imgId, catId, aRng, maxDet)
-            for catId in catIds
-            for aRng in p.aptrtoRng
-            for imgId in p.imgIds
-        ]
+
+        use_native = getattr(self, "use_native", None)
+        if use_native is None:
+            from . import native
+
+            use_native = native.available()
+        if use_native:
+            self._evaluate_native(catIds, maxDet)
+        else:
+            self.evalImgs = [
+                self.evaluateImg(imgId, catId, aRng, maxDet)
+                for catId in catIds
+                for aRng in p.aptrtoRng
+                for imgId in p.imgIds
+            ]
         self._paramsEval = copy.deepcopy(self.params)
         print(f"COCOeval evaluate done (t={time.time() - tic:0.2f}s)")
+
+    def _evaluate_native(self, catIds, maxDet):
+        """Same evalImgs as the numpy path, computed by the C matching
+        kernel (evaluation/csrc/slender_eval.c): one call per non-empty
+        (image, category) pair covers every ratio range and IoU threshold;
+        bit-parity is enforced by tests/test_native_eval.py."""
+        from . import native
+
+        p = self.params
+        A = len(p.aptrtoRng)
+        rng_lo = np.array([r[0] for r in p.aptrtoRng], np.float64)
+        rng_hi = np.array([r[1] for r in p.aptrtoRng], np.float64)
+
+        per_pair: Dict = {}
+        for catId in catIds:
+            for imgId in p.imgIds:
+                gt = self._gts[imgId, catId]
+                dt = self._dts[imgId, catId]
+                if len(gt) == 0 and len(dt) == 0:
+                    per_pair[imgId, catId] = [None] * A
+                    continue
+                dtind = np.argsort([-d["score"] for d in dt], kind="mergesort")
+                dts = [dt[i] for i in dtind[:maxDet]]
+                ious = self.ious[imgId, catId]
+                D, G = len(dts), len(gt)
+                dtm, gtm, dt_ig, gt_ig, gt_order = native.match_pair(
+                    p.iouThrs, rng_lo, rng_hi,
+                    np.asarray(ious, np.float64).reshape(D, G),
+                    np.array([g["ratio"] for g in gt], np.float64),
+                    np.array([int(g.get("iscrowd", 0)) for g in gt], np.uint8),
+                    np.array([g["ignore"] for g in gt], np.uint8),
+                    np.array([g["id"] for g in gt], np.int64),
+                    np.array([d["id"] for d in dts], np.int64),
+                    np.array(
+                        [d["bbox"][2] / d["bbox"][3] if d["bbox"][3] > 0
+                         else 0.0 for d in dts], np.float64),
+                )
+                gt_ids = np.array([g["id"] for g in gt], np.int64)
+                dt_scores = [d["score"] for d in dts]
+                dt_ids = [d["id"] for d in dts]
+                per_pair[imgId, catId] = [
+                    {
+                        "image_id": imgId,
+                        "category_id": catId,
+                        "aRng": p.aptrtoRng[a],
+                        "maxDet": maxDet,
+                        "dtIds": dt_ids,
+                        "gtIds": gt_ids[gt_order[a]].tolist(),
+                        "dtMatches": dtm[a],
+                        "gtMatches": gtm[a],
+                        "dtScores": dt_scores,
+                        "gtIgnore": gt_ig[a].astype(np.int64),
+                        "dtIgnore": dt_ig[a].astype(bool),
+                    }
+                    for a in range(A)
+                ]
+
+        self.evalImgs = [
+            per_pair[imgId, catId][a]
+            for catId in catIds
+            for a in range(A)
+            for imgId in p.imgIds
+        ]
 
     def evaluateImg(self, imgId, catId, aRng, maxDet):
         gt = self._gts[imgId, catId]
