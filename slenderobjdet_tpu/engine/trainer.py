@@ -191,7 +191,6 @@ class BaseTrainer:
             evaluator_type = MetadataCatalog.get(dataset_name).get(
                 "evaluator_type", "coco"
             )
-            loader = build_detection_test_loader(cfg, dataset_name, batch_size=8)
             if evaluator_type == "rcoco":
                 from ..evaluation.rotated_evaluation import RotatedCOCOEvaluator
 
@@ -202,7 +201,36 @@ class BaseTrainer:
                 evaluator = COCOEvaluator(
                     dataset_name, cfg, output_dir=cfg.OUTPUT_DIR
                 )
-            results = inference_on_dataset(predict_fn, loader, evaluator)
+            if cfg.TEST.AUG.ENABLED and evaluator_type != "rcoco":
+                # multi-scale + flip TTA (reference train_net.py:128-142
+                # wraps the model in GeneralizedRCNNWithTTA for --eval-only)
+                results = self._test_with_tta(dataset_name, variables,
+                                              evaluator)
+            else:
+                loader = build_detection_test_loader(cfg, dataset_name,
+                                                     batch_size=8)
+                results = inference_on_dataset(predict_fn, loader, evaluator)
             logger.info("eval %s: %s", dataset_name, results.get("bbox"))
             all_results[dataset_name] = results
         return all_results
+
+    def _test_with_tta(self, dataset_name, variables, evaluator) -> Dict:
+        from ..data import get_detection_dataset_dicts
+        from .tta import tta_predict
+
+        evaluator.reset()
+        predict_fns: Dict = {}
+        for d in get_detection_dataset_dicts(dataset_name):
+            merged = tta_predict(self.detector, variables, d, self.cfg,
+                                 predict_fns=predict_fns)
+            n = len(merged["boxes"])
+            evaluator.process(
+                {"image_id": [d["image_id"]]},
+                {
+                    "boxes": merged["boxes"][None],
+                    "scores": merged["scores"][None],
+                    "classes": merged["classes"][None],
+                    "valid": np.ones((1, n), bool),
+                },
+            )
+        return evaluator.evaluate()

@@ -67,13 +67,17 @@ class COCOEvaluator:
             for j in range(boxes.shape[1]):
                 if not valid[i, j]:
                     continue
+                cat = self._contiguous_to_dataset_id.get(int(classes[i, j]))
+                if cat is None:
+                    # a head wider than the dataset's category set (e.g. an
+                    # 80-class model on a subset json) can emit classes with
+                    # no dataset id; they can never match and are dropped
+                    continue
                 x1, y1, x2, y2 = boxes[i, j].tolist()
                 instances.append(
                     {
                         "image_id": int(image_id),
-                        "category_id": self._contiguous_to_dataset_id[
-                            int(classes[i, j])
-                        ],
+                        "category_id": cat,
                         "bbox": [x1, y1, x2 - x1, y2 - y1],
                         "score": float(scores[i, j]),
                     }

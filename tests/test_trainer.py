@@ -114,3 +114,42 @@ def test_profiler_trace_window(tmp_path):
         str(tmp_path / "out" / "profile" / "**" / "*.json.gz"),
         recursive=True)
     assert traces, "no profiler artifacts written"
+
+
+def test_eval_with_tta(tmp_path):
+    """TEST.AUG.ENABLED routes BaseTrainer.test() through the TTA path
+    (reference train_net.py:128-142), ending in real evaluator metrics."""
+    from conftest import make_tiny_cfg
+    from slenderobjdet_tpu.data import DatasetCatalog
+    from slenderobjdet_tpu.data.datasets import register_coco_instances
+    from slenderobjdet_tpu.engine.trainer import BaseTrainer
+    from synthetic import make_coco_json
+
+    gt_json, image_root = make_coco_json(tmp_path, num_images=2,
+                                         img_hw=(64, 64))
+    name = "synth_tta_eval"
+    if name in DatasetCatalog:
+        DatasetCatalog.remove(name)
+    register_coco_instances(name, gt_json, image_root)
+
+    cfg = make_tiny_cfg()
+    cfg.DATASETS.TRAIN = (name,)
+    cfg.DATASETS.TEST = (name,)
+    cfg.SOLVER.MAX_ITER = 1
+    cfg.SOLVER.IMS_PER_BATCH = 1
+    cfg.INPUT.MIN_SIZE_TRAIN = (64,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 64
+    cfg.INPUT.MIN_SIZE_TEST = 64
+    cfg.INPUT.MAX_SIZE_TEST = 64
+    cfg.TEST.AUG.ENABLED = True
+    cfg.TEST.AUG.MIN_SIZES = (48, 64)
+    cfg.TEST.AUG.MAX_SIZE = 64
+    cfg.TEST.AUG.FLIP = True
+    cfg.TPU.MAX_GT_PER_IMAGE = 8
+    cfg.DATALOADER.NUM_WORKERS = 0
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.freeze()
+
+    trainer = BaseTrainer(cfg)
+    results = trainer.test()
+    assert name in results and "bbox" in results[name]
