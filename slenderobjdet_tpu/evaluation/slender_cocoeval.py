@@ -353,19 +353,19 @@ class SlenderCOCOeval:
                         q = np.zeros((R,))
                         ss = np.zeros((R,))
                         recall[t, k, a, m] = rc[-1] if nd else 0
-                        pr = pr.tolist()
-                        for i in range(nd - 1, 0, -1):
-                            if pr[i] > pr[i - 1]:
-                                pr[i - 1] = pr[i]
+                        # precision envelope: pr[i-1] = max(pr[i-1], pr[i])
+                        # backward == reversed cumulative max (bit-identical
+                        # to pycocotools' python loop)
+                        pr = np.maximum.accumulate(pr[::-1])[::-1]
                         inds_r = np.searchsorted(rc, p.recThrs, side="left")
-                        try:
-                            for ri, pi in enumerate(inds_r):
-                                q[ri] = pr[pi]
-                                ss[ri] = dtScoresSorted[pi]
-                        except IndexError:
-                            pass
-                        precision[t, :, k, a, m] = np.array(q)
-                        scores[t, :, k, a, m] = np.array(ss)
+                        # pycocotools stops filling at the first
+                        # out-of-range index (try/except IndexError)
+                        valid_n = int(np.searchsorted(inds_r, nd, side="left"))
+                        pi = inds_r[:valid_n]
+                        q[:valid_n] = pr[pi]
+                        ss[:valid_n] = dtScoresSorted[pi]
+                        precision[t, :, k, a, m] = q
+                        scores[t, :, k, a, m] = ss
         self.eval = {
             "params": p,
             "counts": [T, R, K, A, M],
