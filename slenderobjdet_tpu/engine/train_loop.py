@@ -32,6 +32,11 @@ class TrainState:
     opt_state: Any
 
 
+# Re-exported for engine users; lives next to BatchNorm to keep the
+# models package free of engine imports.
+from ..models.layers import apply_train  # noqa: E402,F401
+
+
 def create_train_state(detector, tx, rng, image_hw, batch_size: int) -> TrainState:
     variables = detector.init_variables(rng, image_hw, batch_size=batch_size)
     params = variables["params"]
@@ -60,6 +65,14 @@ def make_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         buffers = state.buffers
+        metrics = dict(metrics)
+        # BatchNorm running statistics updated inside the loss apply
+        # (layers.BatchNorm via apply_train) replace the flax buffer subtree;
+        # detector-level keys (loss_normalizer) live at the top level and
+        # survive the merge.
+        updated = metrics.pop("_buffers", None)
+        if updated is not None and isinstance(buffers, dict):
+            buffers = {**buffers, **updated}
         # detector-level running statistics (RepPoints EMA loss normalizer,
         # reference rpd.py:121-122,385-388) write back into the buffers
         if (isinstance(buffers, dict) and "loss_normalizer" in buffers

@@ -69,6 +69,108 @@ class GroupNorm32(nn.Module):
         )(x.astype(jnp.float32)).astype(x.dtype)
 
 
+class BatchNorm(nn.Module):
+    """Trainable batch normalization with running statistics.
+
+    Counterpart of the `nn.BatchNorm2d` the reference trains in the hourglass
+    backbone (`slender_det/modeling/backbone/hourglass.py:16`, norm="BN") and
+    of the SyncBN the VT blocks force (`slender_det/layers/
+    visual_transformer.py:17-23`). Semantics match torch BatchNorm2d:
+    - train: normalize by the biased batch mean/var; running stats updated as
+      `new = (1 - momentum) * old + momentum * batch_stat`, with the running
+      var updated from the UNBIASED batch variance (torch behavior).
+    - eval: normalize by the running mean/var.
+
+    TPU-first design points:
+    - Running stats live in the `buffers` collection next to FrozenBN's
+      affine, so the TrainState/checkpoint plumbing is shared; the train step
+      writes them back via `engine.train_loop.apply_train` (mutable apply).
+    - Train vs eval is decided by `self.is_mutable_collection("buffers")`:
+      only the training apply opens the buffers for mutation, so no `train`
+      flag needs to be threaded through backbone call signatures.
+    - Under a jitted step with the batch sharded over the mesh "data" axis,
+      `jnp.mean` over the batch is a GLOBAL mean (GSPMD inserts the psum), so
+      "SyncBN" is the default behavior — no wrapper module needed.
+    """
+
+    features: int
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        mean = self.variable("buffers", "mean",
+                             lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable("buffers", "var",
+                            lambda: jnp.ones((self.features,), jnp.float32))
+
+        training = (self.is_mutable_collection("buffers")
+                    and not self.is_initializing())
+        if training:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            batch_mean = jnp.mean(xf, axis=axes)
+            # two-pass variance: the one-pass E[x^2] - E[x]^2 form cancels
+            # catastrophically in fp32 for large-mean/small-var activations
+            # and can go negative -> rsqrt(var + eps) = NaN
+            batch_var = jnp.mean(jnp.square(xf - batch_mean), axis=axes)
+            n = 1
+            for a in axes:
+                n *= x.shape[a]
+            unbiased = batch_var * (n / max(n - 1, 1))
+            mean.value = (1.0 - self.momentum) * mean.value \
+                + self.momentum * batch_mean
+            var.value = (1.0 - self.momentum) * var.value \
+                + self.momentum * unbiased
+            use_mean, use_var = batch_mean, batch_var
+        else:
+            use_mean, use_var = mean.value, var.value
+
+        inv = scale * jax.lax.rsqrt(use_var + self.epsilon)
+        return x * inv.astype(x.dtype) + (
+            bias - use_mean * inv).astype(x.dtype)
+
+
+def has_batch_stats(buffers) -> bool:
+    """True iff the buffers pytree contains live BatchNorm running stats
+    (a {"mean": ..., "var": ...} pair) — the signal `apply_train` uses to
+    decide whether the loss apply must open `buffers` for mutation."""
+    found = [False]
+
+    def walk(tree):
+        if isinstance(tree, dict):
+            if "mean" in tree and "var" in tree:
+                found[0] = True
+                return
+            for v in tree.values():
+                walk(v)
+
+    walk(buffers)
+    return found[0]
+
+
+def apply_train(module, variables, *args, **kwargs):
+    """Training-mode module apply that lets BatchNorm running statistics
+    escape. Returns (outputs, updated_buffers | None).
+
+    When the variables contain live batch stats (models with trainable BN —
+    hourglass/CornerNet, VT blocks; see BatchNorm), the apply opens the
+    `buffers` collection for mutation and returns the updated tree, which the
+    detector's loss stashes in metrics["_buffers"] for the train step to write
+    back into TrainState.buffers. FrozenBN-only models take the plain-apply
+    path (no extra jit outputs, no aliasing overhead)."""
+    if has_batch_stats(variables.get("buffers", {})):
+        out, mut = module.apply(variables, *args, mutable=["buffers"],
+                                **kwargs)
+        return out, mut["buffers"]
+    return module.apply(variables, *args, **kwargs), None
+
+
 def get_norm(norm: str, features: int, dtype: Dtype = jnp.float32,
              name: Optional[str] = None) -> Optional[nn.Module]:
     if norm == "" or norm is None:
@@ -78,9 +180,9 @@ def get_norm(norm: str, features: int, dtype: Dtype = jnp.float32,
     if norm in ("GN",):
         return GroupNorm32(features=features, dtype=dtype, name=name)
     if norm in ("BN", "SyncBN"):
-        # Plain BN is rarely used in the reference's detector configs (FrozenBN
-        # or GN everywhere). Map BN→FrozenBN for inference-compatible behavior.
-        return FrozenBatchNorm(features=features, dtype=dtype, name=name)
+        # Real trainable BN. Under jit-with-sharding the batch statistics are
+        # global (see BatchNorm docstring), so "SyncBN" is the same module.
+        return BatchNorm(features=features, dtype=dtype, name=name)
     raise ValueError(f"Unknown norm {norm!r}")
 
 

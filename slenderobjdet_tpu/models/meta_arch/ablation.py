@@ -403,7 +403,10 @@ class AblationMetaArch:
         ])
         soi = jnp.asarray(soi)
 
-        cls_l, ctr_l, init_l, refine_l = self._lrtb_outputs(variables, images)
+        from ..layers import apply_train
+
+        ((cls_l, ctr_l, init_l, refine_l),
+         updated_buffers) = apply_train(self.module, variables, images)
         logits = jnp.concatenate(cls_l, axis=1)
         ctr = jnp.concatenate(ctr_l, axis=1)
         loc_init = jnp.concatenate(init_l, axis=1)
@@ -459,13 +462,16 @@ class AblationMetaArch:
                  + ctr_loss * self.loss_cls_weight
                  + loss_init * self.loss_init_weight
                  + loss_refine * self.loss_refine_weight)
-        return total, {
+        metrics = {
             "loss_cls": cls_loss,
             "centerness_loss": ctr_loss,
             "loss_loc_init": loss_init,
             "loss_loc_refine": loss_refine,
             "num_pos": num_pos,
         }
+        if updated_buffers is not None:
+            metrics["_buffers"] = updated_buffers
+        return total, metrics
 
     def _lrtb_predict(self, variables, batch):
         images = batch["image"]
@@ -516,7 +522,10 @@ class AblationMetaArch:
         lvl_min = int(np.log2(self.strides[0]))
         lvl_max = int(np.log2(self.strides[-1]))
 
-        cls_l, _, init_l, refine_l = self.module.apply(variables, images)
+        from ..layers import apply_train
+
+        (cls_l, _, init_l, refine_l), updated_buffers = apply_train(
+            self.module, variables, images)
         logits = jnp.concatenate(cls_l, axis=1)
         init_boxes = jnp.concatenate(
             self._pointset_boxes(init_l, centers_np, counts), axis=1)
@@ -571,8 +580,11 @@ class AblationMetaArch:
         total = (cls_loss * self.loss_cls_weight
                  + loss_init * self.loss_init_weight
                  + loss_refine * self.loss_refine_weight)
-        return total, {"loss_cls": cls_loss, "loss_loc_init": loss_init,
-                       "loss_loc_refine": loss_refine, "num_pos": jnp.sum(fg)}
+        metrics = {"loss_cls": cls_loss, "loss_loc_init": loss_init,
+                   "loss_loc_refine": loss_refine, "num_pos": jnp.sum(fg)}
+        if updated_buffers is not None:
+            metrics["_buffers"] = updated_buffers
+        return total, metrics
 
     def _pointset_predict(self, variables, batch):
         images = batch["image"]
@@ -599,7 +611,10 @@ class AblationMetaArch:
         anchors_np, counts = self.anchor_spec.anchors(images.shape[1:3])
         anchors = jnp.asarray(anchors_np)
 
-        cls_l, _, init_l, refine_l = self.module.apply(variables, images)
+        from ..layers import apply_train
+
+        (cls_l, _, init_l, refine_l), updated_buffers = apply_train(
+            self.module, variables, images)
         logits = jnp.concatenate(cls_l, axis=1)
         init_d = jnp.concatenate(init_l, axis=1)
         refine_d = jnp.concatenate(refine_l, axis=1)
@@ -635,8 +650,11 @@ class AblationMetaArch:
         total = (cls_loss * self.loss_cls_weight
                  + loss_init * self.loss_init_weight
                  + loss_refine * self.loss_refine_weight)
-        return total, {"loss_cls": cls_loss, "loss_loc_init": loss_init,
-                       "loss_loc_refine": loss_refine, "num_pos": num_fg}
+        metrics = {"loss_cls": cls_loss, "loss_loc_init": loss_init,
+                   "loss_loc_refine": loss_refine, "num_pos": num_fg}
+        if updated_buffers is not None:
+            metrics["_buffers"] = updated_buffers
+        return total, metrics
 
     def _anchor_predict(self, variables, batch):
         images = batch["image"]

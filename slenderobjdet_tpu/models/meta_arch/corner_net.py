@@ -171,8 +171,10 @@ class CornerNet:
 
     # ------------------------------------------------------------------ loss
     def loss(self, variables, batch):
+        from ..layers import apply_train
+
         images = batch["image"]
-        outs = self.module.apply(variables, images)
+        outs, updated_buffers = apply_train(self.module, variables, images)
         H, W = outs[-1][0][0].shape[1:3]
 
         gt_boxes = batch["gt_boxes"]
@@ -232,13 +234,16 @@ class CornerNet:
                 jnp.where(gt_valid[..., None], off_l1, 0.0)) / num_pos
 
         total = total_heat + 0.1 * total_pull + 0.1 * total_push + total_off
-        return total, {
+        metrics = {
             "loss_heat": total_heat,
             "loss_pull": total_pull,
             "loss_push": total_push,
             "loss_offset": total_off,
             "num_pos": num_pos,
         }
+        if updated_buffers is not None:
+            metrics["_buffers"] = updated_buffers
+        return total, metrics
 
     # ------------------------------------------------------------- inference
     def predict(self, variables, batch):

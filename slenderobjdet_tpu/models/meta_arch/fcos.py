@@ -280,7 +280,10 @@ class FCOS:
         locations = jnp.asarray(locations_np)
         soi = jnp.asarray(self._sizes_of_interest(counts))
 
-        logits_l, reg_l, ctr_l = self.module.apply(variables, images, train=True)
+        from ..layers import apply_train
+
+        (logits_l, reg_l, ctr_l), updated_buffers = apply_train(
+            self.module, variables, images, train=True)
         logits = jnp.concatenate(logits_l, axis=1)  # (B, L, C)
         reg = jnp.concatenate(reg_l, axis=1)        # (B, L, 4)
         ctr = jnp.concatenate(ctr_l, axis=1) if ctr_l is not None else None
@@ -376,6 +379,8 @@ class FCOS:
                 "reg_loss": reg_loss,
                 "num_pos": num_pos,
             }
+        if updated_buffers is not None:
+            metrics["_buffers"] = updated_buffers
         return total, metrics
 
     # ---------------------------------------------------------- inference

@@ -199,7 +199,10 @@ class FCOSAnchor:
         anchor_off = jnp.asarray(anchor_off_np)              # (L*A, 4)
         A = self.num_anchors
 
-        cls_l, reg_l, ctr_l, shape_l = self.module.apply(variables, images)
+        from ..layers import apply_train
+
+        (cls_l, reg_l, ctr_l, shape_l), updated_buffers = apply_train(
+            self.module, variables, images)
         logits = jnp.concatenate(cls_l, axis=1)              # (B, L*A, C)
         regs = jnp.concatenate(reg_l, axis=1)                # (B, L*A, 4)
         ctr = jnp.concatenate(ctr_l, axis=1)                 # (B, L)
@@ -260,11 +263,14 @@ class FCOSAnchor:
         ) / num_pos_a
 
         total = cls_loss + reg_loss + ctr_loss + shape_loss
-        return total, {
+        metrics = {
             "cls_loss": cls_loss, "reg_loss": reg_loss,
             "centerness_loss": ctr_loss, "shape_loss": shape_loss,
             "num_pos": num_pos,
         }
+        if updated_buffers is not None:
+            metrics["_buffers"] = updated_buffers
+        return total, metrics
 
     # ------------------------------------------------------------- inference
     def predict(self, variables, batch):

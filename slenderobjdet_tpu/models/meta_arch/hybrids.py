@@ -94,8 +94,10 @@ class RepPointsCenterness(RepPointsDetector):
         # centerness-augmented variant of RepPointsDetector.loss
         images = batch["image"]
         centers_np, counts, lvls_np = self._centers(images.shape[1:3])
-        logits_l, init_l, refine_l, ctr_l = self.module.apply(
-            self._module_variables(variables), images
+        from ..layers import apply_train
+
+        (logits_l, init_l, refine_l, ctr_l), updated_buffers = apply_train(
+            self.module, self._module_variables(variables), images
         )
         ctr = jnp.concatenate(ctr_l, axis=1)
 
@@ -133,6 +135,8 @@ class RepPointsCenterness(RepPointsDetector):
             jnp.where(fg, optax_sigmoid_ce(ctr, tgt), 0.0)) / num_pos
         metrics = dict(metrics)
         metrics["centerness_loss"] = ctr_loss
+        if updated_buffers is not None:
+            metrics["_buffers"] = updated_buffers
         return total + ctr_loss, metrics
 
     def predict(self, variables, batch):

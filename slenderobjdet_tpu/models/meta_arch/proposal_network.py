@@ -133,7 +133,10 @@ class ProposalNetworkWithMasks:
             for i, c in enumerate(counts)
         ]))
 
-        logits_l, regs_l = self.module.apply(variables, images)
+        from ..layers import apply_train
+
+        (logits_l, regs_l), updated_buffers = apply_train(
+            self.module, variables, images)
         logits = jnp.concatenate(logits_l, axis=1)
         regs = jnp.concatenate(regs_l, axis=1)
 
@@ -161,10 +164,13 @@ class ProposalNetworkWithMasks:
             jnp.where(pos, iou_loss_ltrb(regs, safe, "iou"), 0.0)
         ) / num_pos
 
-        return obj_loss + reg_loss, {
+        metrics = {
             "loss_objectness": obj_loss, "loss_reg": reg_loss,
             "num_pos": num_pos,
         }
+        if updated_buffers is not None:
+            metrics["_buffers"] = updated_buffers
+        return obj_loss + reg_loss, metrics
 
     def predict(self, variables, batch):
         images = batch["image"]

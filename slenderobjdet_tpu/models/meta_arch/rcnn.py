@@ -127,8 +127,11 @@ class ProposalVisibleRCNN:
         rng = batch.get("rng", jax.random.PRNGKey(0))
         r_rpn, r_roi = jax.random.split(rng)
 
+        from ..layers import apply_train
+
         main_vars, roi_vars = self._split_variables(variables)
-        logits_l, deltas_l, roi_feats = self.module.apply(main_vars, images)
+        (logits_l, deltas_l, roi_feats), updated_buffers = apply_train(
+            self.module, main_vars, images)
         logits = jnp.concatenate(logits_l, axis=1)
         deltas = jnp.concatenate(deltas_l, axis=1)
 
@@ -164,6 +167,8 @@ class ProposalVisibleRCNN:
             metrics["loss_rpn_cls"] + metrics["loss_rpn_loc"]
             + metrics["loss_cls"] + metrics["loss_box_reg"]
         )
+        if updated_buffers is not None:
+            metrics["_buffers"] = updated_buffers
         return total, metrics
 
     # ------------------------------------------------------------ inference

@@ -193,8 +193,12 @@ def points2bbox(deltas, centers, point_stride, method="minmax",
         )
     if method == "moment":
         mx, my = px.mean(-1), py.mean(-1)
-        sx = jnp.std(px - mx[..., None], axis=-1)
-        sy = jnp.std(py - my[..., None], axis=-1)
+        # gradient-safe std: jnp.std's sqrt has an inf gradient when all P
+        # points coincide (e.g. BatchNorm collapsing a 1x1-spatial level to
+        # exactly zero offsets), and a masked loss turns 0 * inf into NaN.
+        # eps inside the sqrt shifts the value by < 1e-6 px.
+        sx = jnp.sqrt(jnp.mean(jnp.square(px - mx[..., None]), -1) + 1e-12)
+        sy = jnp.sqrt(jnp.mean(jnp.square(py - my[..., None]), -1) + 1e-12)
         mt = (moment_transfer * moment_mul
               + jax.lax.stop_gradient(moment_transfer) * (1 - moment_mul))
         hw_ = sx * jnp.exp(mt[0])
@@ -419,11 +423,16 @@ class RepPointsDetector:
 
     # ---------------------------------------------------------------- loss
     def loss(self, variables, batch):
-        logits_l, init_l, refine_l = self.module.apply(
-            self._module_variables(variables), batch["image"]
+        from ..layers import apply_train
+
+        (logits_l, init_l, refine_l), updated_buffers = apply_train(
+            self.module, self._module_variables(variables), batch["image"]
         )
-        return self._loss_from_outputs(variables, batch,
-                                       logits_l, init_l, refine_l)
+        total, metrics = self._loss_from_outputs(variables, batch,
+                                                 logits_l, init_l, refine_l)
+        if updated_buffers is not None:
+            metrics["_buffers"] = updated_buffers
+        return total, metrics
 
     def _loss_from_outputs(self, variables, batch, logits_l, init_l, refine_l):
         images = batch["image"]

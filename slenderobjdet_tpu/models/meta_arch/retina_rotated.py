@@ -168,7 +168,10 @@ class RotatedRetinaNet:
         anchors_np, _ = self.anchor_spec.anchors(images.shape[1:3])
         anchors = jnp.asarray(anchors_np)
 
-        logits_l, regs_l = self.module.apply(variables, images)
+        from ..layers import apply_train
+
+        (logits_l, regs_l), updated_buffers = apply_train(
+            self.module, variables, images)
         logits = jnp.concatenate(logits_l, axis=1)
         regs = jnp.concatenate(regs_l, axis=1)
 
@@ -198,9 +201,12 @@ class RotatedRetinaNet:
         reg = smooth_l1_loss(regs, tgt, self.smooth_l1_beta)
         reg_loss = jnp.sum(jnp.where(fg[..., None], reg, 0.0)) / num_fg
 
-        return cls_loss + reg_loss, {
+        metrics = {
             "loss_cls": cls_loss, "loss_box_reg": reg_loss, "num_pos": num_fg,
         }
+        if updated_buffers is not None:
+            metrics["_buffers"] = updated_buffers
+        return cls_loss + reg_loss, metrics
 
     def predict(self, variables, batch):
         images = batch["image"]

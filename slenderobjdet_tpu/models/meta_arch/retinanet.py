@@ -258,7 +258,10 @@ class RetinaNet:
         anchors_np, counts = self._anchors(images.shape[1:3])
         anchors = jnp.asarray(anchors_np)
 
-        logits_l, regs_l = self.module.apply(variables, images)
+        from ..layers import apply_train
+
+        (logits_l, regs_l), updated_buffers = apply_train(
+            self.module, variables, images)
         logits = jnp.concatenate(logits_l, axis=1)   # (B, N, C)
         regs = jnp.concatenate(regs_l, axis=1)       # (B, N, 4)
 
@@ -284,11 +287,14 @@ class RetinaNet:
         reg_loss = jnp.sum(jnp.where(fg[..., None], reg_all, 0.0)) / num_fg
 
         total = cls_loss + reg_loss
-        return total, {
+        metrics = {
             "loss_cls": cls_loss,
             "loss_box_reg": reg_loss,
             "num_pos": num_fg,
         }
+        if updated_buffers is not None:
+            metrics["_buffers"] = updated_buffers
+        return total, metrics
 
     # ---------------------------------------------------------- inference
     def predict(self, variables, batch) -> Dict[str, jnp.ndarray]:

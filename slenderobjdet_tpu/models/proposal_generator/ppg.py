@@ -195,9 +195,12 @@ class PointsProposalGenerator:
 
     # ---------------------------------------------------------------- loss
     def loss(self, variables, batch):
+        from ..layers import apply_train
+
         images = batch["image"]
         H, W = images.shape[1:3]
-        logits_l, raw_off_l = self.module.apply(variables, images)
+        (logits_l, raw_off_l), updated_buffers = apply_train(
+            self.module, variables, images)
         coords_l = self._coordinates(raw_off_l, (H, W))
 
         # gt size magnitude |(w,h)| per pixel (ppg.py:69: sqrt(sum sq))
@@ -245,6 +248,8 @@ class PointsProposalGenerator:
             total = total + metrics[f"border_likely_loss_{lvl}"]
 
         metrics["num_pos"] = jnp.sum(gt_sizes > 0)
+        if updated_buffers is not None:
+            metrics["_buffers"] = updated_buffers
         return total, metrics
 
     # ------------------------------------------------------------ inference

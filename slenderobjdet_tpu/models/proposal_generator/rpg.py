@@ -9,9 +9,8 @@ rpg.py:45-390`):
   1x1 conv -> 2P offsets in IMAGE pixels (added directly to the center
   grid); a learnable 2-vector moment_transfer with moment_mul 0.01 decodes
   point sets to boxes via the moment transform (points2bbox, rpg.py:106-144).
-  TPU note: the reference's per-branch BatchNorm2d is replaced by GroupNorm
-  (no cross-device batch statistics inside jit; GN is the d2-style norm the
-  rest of this codebase uses).
+  The per-branch BatchNorm2d matches the reference (layers.BatchNorm:
+  running stats in buffers, batch statistics global under a sharded jit).
 - assignment (rpg.py:267-307): SAMPLE_MODE 'points' -> nearest-point match,
   'inside' -> stride-cell inside match (shared with meta_arch/reppoints.py).
 - losses (rpg.py:164-197): focal (alpha .25) with OHEM-style negatives —
@@ -36,7 +35,7 @@ from ...ops.nms import nms_select
 from ...structures import boxes as box_ops
 from ..anchors import feature_map_shapes
 from ..backbones.fpn import build_backbone
-from ..layers import GroupNorm32
+from ..layers import BatchNorm
 from ..meta_arch.reppoints import (
     inside_assign,
     points2bbox,
@@ -54,11 +53,15 @@ class RepPointsInitHead(nn.Module):
         init = nn.initializers.normal(stddev=0.01)
 
         def branch(prefix):
+            # BatchNorm matches the reference head exactly (rpg.py:45-104,
+            # nn.BatchNorm2d per conv); layers.BatchNorm keeps running stats
+            # in buffers and is SyncBN under a sharded jit (round 3 — the
+            # earlier GN substitution predates trainable BN support).
             return [
                 (nn.Conv(c, (3, 3), padding=1, dtype=self.dtype,
                          param_dtype=jnp.float32, kernel_init=init,
                          name=f"{prefix}_conv{i}"),
-                 GroupNorm32(c, name=f"{prefix}_norm{i}"))
+                 BatchNorm(c, name=f"{prefix}_norm{i}"))
                 for i in range(3)
             ]
 
@@ -185,7 +188,10 @@ class RepPointsGenerator:
     def loss(self, variables, batch):
         images = batch["image"]
         centers_np, counts, lvls_np = self._centers(images.shape[1:3])
-        logits_l, deltas_l, mt = self.module.apply(variables, images)
+        from ..layers import apply_train
+
+        (logits_l, deltas_l, mt), updated_buffers = apply_train(
+            self.module, variables, images)
         boxes = jnp.concatenate(
             self._decode(deltas_l, mt, centers_np, counts), axis=1)
         logits = jnp.concatenate(logits_l, axis=1)          # (B, X)
@@ -225,11 +231,14 @@ class RepPointsGenerator:
         )
 
         total = (cls_loss + loc_loss) * self.loss_weight
-        return total, {
+        metrics = {
             "cls_loss": cls_loss * self.loss_weight,
             "localization_loss": loc_loss * self.loss_weight,
             "num_pos": pos_count,
         }
+        if updated_buffers is not None:
+            metrics["_buffers"] = updated_buffers
+        return total, metrics
 
     # ------------------------------------------------------------ inference
     def predict(self, variables, batch):
