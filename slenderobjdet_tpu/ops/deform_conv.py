@@ -37,14 +37,34 @@ def kernel_base_offsets(kernel_size: int = 3) -> np.ndarray:
     return np.stack([dy, dx], axis=1)
 
 
-def _gather_bilinear_zeropad(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
-    """feat (H, W, C); ys/xs (...,) -> (..., C); zero outside the image.
+def _gather_bilinear_zeropad_batched(feat: jnp.ndarray, ys: jnp.ndarray,
+                                     xs: jnp.ndarray):
+    """feat (B, H, W, C); ys/xs (B, ...) -> (B, ..., C); zero outside.
 
-    The gather is HBM-bandwidth-bound (each tap reads a full C-row); it runs
-    in feat's OWN dtype (bf16 halves the traffic vs the old fp32 upcast) and
-    the interpolation weights are applied in that dtype too — the following
-    MXU matmul accumulates in fp32."""
-    h, w, _ = feat.shape
+    TPU formulation (round-3 measurements, VALIDATION.md):
+    - XLA's row gather on v5e is ROW-RATE limited (~130 M rows/s) and
+      essentially independent of row width up to 4 KB (35 GB/s at 256 B rows
+      vs 524 GB/s at 4 KB rows). So instead of 4 corner gathers per bilinear
+      tap, we build a QUAD table whose row (y, x) holds all four corners
+      [f(y,x), f(y,x+1), f(y+1,x), f(y+1,x+1)] from a zero-padded copy of
+      the feature map and gather ONE 4C-wide row per tap.
+    - a vmapped per-image gather lowers to a batched gather that runs ~5x
+      slower (27 M rows/s measured) than one flat gather, so the batch is
+      folded into a single (B*(H+1)*(W+1), 4C) table with image-offset
+      indices and gathered in ONE call.
+    - the 4 corners are combined via LANE-dimension slices of the 4C row
+      (offsets are multiples of C >= 128: no cross-lane movement); a
+      (..., 4, C) reshape instead would relayout the whole gathered tensor
+      (measured 51 ms for the epilogue alone at B=8 P3 C=512).
+
+    Boundary semantics match torch DCN exactly: the zero padding makes
+    partially-outside taps blend against zeros, and fully-outside taps
+    (ys <= -1 or >= h, same for x) are masked to zero.
+
+    The gather runs in feat's OWN dtype (bf16 halves the traffic) and the
+    interpolation weights are applied in that dtype too — the following MXU
+    matmul accumulates in fp32."""
+    b, h, w, c = feat.shape
     y0f = jnp.floor(ys)
     x0f = jnp.floor(xs)
     ly = (ys - y0f)[..., None].astype(feat.dtype)
@@ -53,20 +73,37 @@ def _gather_bilinear_zeropad(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray
     y0 = y0f.astype(jnp.int32)
     x0 = x0f.astype(jnp.int32)
 
-    flat = feat.reshape(h * w, -1)
+    # zero-padded feature (1-pixel halo) and its quad table: row (bi, i, j)
+    # holds fp[i, j], fp[i, j+1], fp[i+1, j], fp[i+1, j+1] where
+    # fp[i, j] = feat[bi, i-1, j-1] (zeros outside) — i.e. the 4 bilinear
+    # corners of floor position (y0, x0) = (i-1, j-1) of image bi.
+    fp = jnp.pad(feat, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    quad = jnp.concatenate(
+        [fp[:, :-1, :-1], fp[:, :-1, 1:], fp[:, 1:, :-1], fp[:, 1:, 1:]],
+        axis=-1,
+    ).reshape(b * (h + 1) * (w + 1), 4 * c)
 
-    def tap(yi, xi, wgt):
-        inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-        vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(*idx.shape, -1)
-        return vals * (wgt * inside[..., None].astype(feat.dtype))
+    iq = ((jnp.clip(y0, -1, h - 1) + 1) * (w + 1)
+          + (jnp.clip(x0, -1, w - 1) + 1))
+    img_off = jnp.arange(b, dtype=jnp.int32).reshape(
+        (b,) + (1,) * (iq.ndim - 1)) * ((h + 1) * (w + 1))
+    rows = jnp.take(quad, (iq + img_off).reshape(-1), axis=0)
+    rows = rows.reshape(*iq.shape, 4 * c)
 
-    return (
-        tap(y0, x0, (one - ly) * (one - lx))
-        + tap(y0, x0 + 1, (one - ly) * lx)
-        + tap(y0 + 1, x0, ly * (one - lx))
-        + tap(y0 + 1, x0 + 1, ly * lx)
-    )
+    # fully-outside taps fold into the per-corner weights
+    valid = ((ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w))[..., None]
+    v = valid.astype(feat.dtype)
+    out = (rows[..., 0 * c:1 * c] * ((one - ly) * (one - lx) * v)
+           + rows[..., 1 * c:2 * c] * ((one - ly) * lx * v)
+           + rows[..., 2 * c:3 * c] * (ly * (one - lx) * v)
+           + rows[..., 3 * c:4 * c] * (ly * lx * v))
+    return out
+
+
+def _gather_bilinear_zeropad(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
+    """Single-image wrapper of the batched quad gather (see above)."""
+    return _gather_bilinear_zeropad_batched(
+        feat[None], ys[None], xs[None])[0]
 
 
 def deform_conv2d(
@@ -99,13 +136,26 @@ def deform_conv2d(
 
 
 def deform_conv2d_batched(x, offsets, weight, bias=None, mask=None):
-    """(B, H, W, Cin) variant."""
-    fn = lambda xi, oi, mi: deform_conv2d(xi, oi, weight, bias, mi)
-    if mask is None:
-        return jax.vmap(lambda xi, oi: deform_conv2d(xi, oi, weight, bias))(
-            x, offsets
-        )
-    return jax.vmap(fn)(x, offsets, mask)
+    """(B, H, W, Cin) variant — single flat gather over the whole batch
+    (NOT a vmap of the per-image op; see _gather_bilinear_zeropad_batched)."""
+    b, h, w, cin = x.shape
+    k = offsets.shape[3]
+    yy = jnp.arange(h, dtype=offsets.dtype)[None, :, None, None] \
+        + offsets[..., 0]
+    xx = jnp.arange(w, dtype=offsets.dtype)[None, None, :, None] \
+        + offsets[..., 1]
+    samples = _gather_bilinear_zeropad_batched(x, yy, xx)  # (B, H, W, K, C)
+    if mask is not None:
+        samples = samples * mask[..., None].astype(samples.dtype)
+    out = jax.lax.dot_general(
+        samples.reshape(b * h * w, k * cin),
+        weight.reshape(k * cin, -1).astype(samples.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(b, h, w, -1)
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
 
 
 def deform_sample(x: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
@@ -122,7 +172,12 @@ def deform_sample(x: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
 
 
 def deform_sample_batched(x, offsets):
-    return jax.vmap(deform_sample)(x, offsets)
+    b, h, w, _ = x.shape
+    yy = jnp.arange(h, dtype=offsets.dtype)[None, :, None, None] \
+        + offsets[..., 0]
+    xx = jnp.arange(w, dtype=offsets.dtype)[None, None, :, None] \
+        + offsets[..., 1]
+    return _gather_bilinear_zeropad_batched(x, yy, xx)
 
 
 def deform_apply(samples: jnp.ndarray, weight: jnp.ndarray,
