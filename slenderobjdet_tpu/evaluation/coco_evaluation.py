@@ -115,6 +115,7 @@ class COCOEvaluator:
             results["bbox"] = {
                 name: float(stats[i] * 100) for i, name in enumerate(STATS_NAMES)
             }
+            results["bbox"].update(self._per_category_results(coco_eval))
 
         # ----- AR recall matrix by ratio x area (diagnosis metrics)
         ar_stats = evaluate_predictions_ar(
@@ -146,6 +147,62 @@ class COCOEvaluator:
                     {k: v for k, v in results.items()}, f, default=float
                 )
         return results
+
+    def _per_category_results(self, coco_eval) -> Dict[str, Dict]:
+        """Per-category AP table + per-category per-ratio-bucket APs —
+        counterpart of the reference `_derive_coco_results`
+        (`slender_det/evaluation/coco_evaluation.py:204-236`): prints a
+        tabulated per-category AP table and returns
+        {"AP-per-category": {name: AP}, "AP-ratios": {"AP-"+name: [6 APs]}}
+        where the 6 entries follow the forked COCOeval's ratio axis
+        (all, 0-1/5, 1/5-1/3, 1/3-3, 3-5, 5-INF)."""
+        import itertools
+
+        from tabulate import tabulate
+
+        cat_ids = list(coco_eval.params.catIds)
+        cats = self._coco_api.loadCats(cat_ids)
+        class_names = [c["name"] for c in cats]
+        if len(class_names) <= 1:
+            return {}
+
+        # precision dims: (iou, recall, category, ratio range, max dets)
+        precisions = np.asarray(coco_eval.eval["precision"])
+        assert precisions.shape[2] == len(class_names)
+
+        per_category = []
+        per_category_ratios = []
+        for idx, name in enumerate(class_names):
+            p = precisions[:, :, idx, 0, -1]
+            p = p[p > -1]
+            ap = float(np.mean(p) * 100) if p.size else float("nan")
+            per_category.append((name, ap))
+            # per-ratio: mean over iou & recall per ratio-range column,
+            # matching the reference's masked -1 semantics (mean over raw
+            # values including -1 sentinel is what the reference computes;
+            # we mask like the headline AP for a meaningful number)
+            cols = []
+            for a in range(precisions.shape[3]):
+                pa = precisions[:, :, idx, a, -1]
+                pa = pa[pa > -1]
+                cols.append(float(np.mean(pa)) if pa.size else float("nan"))
+            per_category_ratios.append((name, cols))
+
+        n_cols = min(6, len(per_category) * 2)
+        flat = list(itertools.chain(*per_category))
+        rows = itertools.zip_longest(*[flat[i::n_cols] for i in range(n_cols)])
+        table = tabulate(
+            rows, tablefmt="pipe", floatfmt=".3f",
+            headers=["category", "AP"] * (n_cols // 2), numalign="left",
+        )
+        print("Per-category bbox AP: \n" + table)
+
+        return {
+            "AP-per-category": {name: ap for name, ap in per_category},
+            "AP-ratios": {
+                "AP-" + name: cols for name, cols in per_category_ratios
+            },
+        }
 
 
 class COCOEvaluatorWithAnchors(COCOEvaluator):

@@ -118,6 +118,18 @@ def test_oracle_evaluator_end_to_end(synth_dataset):
     # slender bucket exists in this dataset and is perfectly recalled
     assert results["bbox"]["AP-0-1/5"] == pytest.approx(100.0, abs=1.0)
 
+    # per-category AP table (reference coco_evaluation.py:204-236): every
+    # populated category is perfect under the oracle, and each category has
+    # a 6-entry per-ratio AP row (all + 5 buckets)
+    per_cat = results["bbox"]["AP-per-category"]
+    assert len(per_cat) >= 2
+    for name, apv in per_cat.items():
+        if np.isfinite(apv):
+            assert apv == pytest.approx(100.0, abs=1.0)
+    ratios = results["bbox"]["AP-ratios"]
+    assert set(ratios) == {"AP-" + n for n in per_cat}
+    assert all(len(v) == 6 for v in ratios.values())
+
 
 def test_multiprocess_loader_matches_single(synth_dataset):
     """NUM_WORKERS>1 fans the mapper over pool workers with
