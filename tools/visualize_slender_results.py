@@ -65,6 +65,31 @@ def main():
             cv2.putText(out, lab, (x1, max(y1 - 12, 8)),
                         cv2.FONT_HERSHEY_SIMPLEX, 0.35, (255, 255, 255), 1)
         cv2.imwrite(os.path.join(args.out_dir, f"{img_id:012d}.jpg"), out)
+
+        # paper-figure panel: gt instances rendered with filled polygon
+        # masks, colored by slenderness group (reference
+        # visualizer.py:149-220 draw_instance_predictions + group_by)
+        anns = coco.loadAnns(coco.getAnnIds(imgIds=[img_id]))
+        polys = [a.get("segmentation") or [] for a in anns]
+        if any(len(p) for p in polys):
+            gt_img = cv2.imread(
+                os.path.join(args.image_root, info["file_name"]))
+            gvis = Visualizer(gt_img)
+            gt_boxes = np.array([
+                [a["bbox"][0], a["bbox"][1],
+                 a["bbox"][0] + a["bbox"][2], a["bbox"][1] + a["bbox"][3]]
+                for a in anns
+            ])
+            gt_cls = [a["category_id"] for a in anns]
+            gout = gvis.draw_instances(boxes=gt_boxes, masks=polys,
+                                       classes=None)
+            for (x1, y1, _, _), cid in zip(gt_boxes.astype(int), gt_cls):
+                cv2.putText(gout, names.get(cid, str(cid)),
+                            (x1, max(y1 - 12, 8)),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.35,
+                            (255, 255, 255), 1)
+            cv2.imwrite(
+                os.path.join(args.out_dir, f"{img_id:012d}_gt.jpg"), gout)
     print("wrote visualizations to", args.out_dir)
 
 
