@@ -108,6 +108,17 @@ def register_builtin():
         register_coco_instances(
             name, os.path.join(root, json_rel), os.path.join(root, img_rel)
         )
+    # rotated-box view of the same jsons (the reference's rcoco datasets,
+    # slender_det/data/datasets/rcoco.py)
+    from .rotated_coco import register_rotated_coco_instances
+
+    for name, (json_rel, img_rel) in _BUILTIN.items():
+        rname = "r" + name
+        if rname in DatasetCatalog:
+            continue
+        register_rotated_coco_instances(
+            rname, os.path.join(root, json_rel), os.path.join(root, img_rel)
+        )
 
 
 register_builtin()

@@ -10,6 +10,9 @@ import pytest
 
 from synthetic import make_coco_json
 
+# full-tier: heavy oracle/convergence/subprocess coverage (smoke tier = -m 'not slow')
+pytestmark = pytest.mark.slow
+
 REPO = os.path.join(os.path.dirname(__file__), "..")
 
 
@@ -381,12 +384,27 @@ def test_inference_obj365_end_to_end(artifacts):
     assert os.path.exists(os.path.join(out_dir, "obj365_metrics.json"))
 
 
-def test_coco_rehearsal_dry_run(tmp_path):
+# every BASELINE.json config family: reference 1x recipe -> short train ->
+# slender eval, exercised end-to-end so a data-bearing round produces all
+# five mAP numbers with zero new code (VERDICT r2 next-step #2)
+BASELINE_REHEARSAL_CONFIGS = [
+    "configs/fcos/fcos_R_50_FPN_1x.yaml",
+    "configs/retina/retinanet_R_50_FPN_1x.yaml",
+    "configs/faster/faster_rcnn_R_50_FPN_1x.yaml",
+    "configs/rep-points/reppointsv2_R_50_FPN_1x.yaml",
+    "configs/rotated/rotated_retinanet_R_50_FPN_1x.yaml",
+    "configs/corner/corner_net_hourglass.yaml",
+]
+
+
+@pytest.mark.parametrize("config_file", BASELINE_REHEARSAL_CONFIGS)
+def test_coco_rehearsal_dry_run(tmp_path, config_file):
     """The real-COCO rehearsal harness must dry-run the full 1x recipe path
-    (register -> train -> checkpoint -> slender eval) on synthetic data."""
+    (register -> train -> checkpoint -> slender eval) on synthetic data for
+    every BASELINE config family."""
     out_dir = os.path.join(str(tmp_path), "rehearsal")
     out = run_tool(["tools/coco_rehearsal.py", "--dry-run",
-                    "--config-file", "configs/fcos/fcos_R_50_FPN_1x.yaml",
+                    "--config-file", config_file,
                     "--output-dir", out_dir,
                     "SOLVER.MAX_ITER", "8", "SOLVER.STEPS", "(5, 7)"],
                    timeout=560)

@@ -99,11 +99,18 @@ def main():
         synth_root = os.path.join(args.output_dir, "synth_coco")
         train_json, train_root = synth_coco(synth_root, "train", 8, seed=0)
         val_json, val_root = synth_coco(synth_root, "val", 4, seed=1)
+        # rotated configs train/eval on the rcoco view of the same jsons
+        rotated = any(d.startswith("rcoco") for d in cfg.DATASETS.TRAIN)
+        if rotated:
+            from slenderobjdet_tpu.data.datasets import (
+                register_rotated_coco_instances as _register)
+        else:
+            _register = register_coco_instances
         for name, j, r in (("rehearsal_train", train_json, train_root),
                            ("rehearsal_val", val_json, val_root)):
             if name in DatasetCatalog:
                 DatasetCatalog.remove(name)
-            register_coco_instances(name, j, r)
+            _register(name, j, r)
         cfg.DATASETS.TRAIN = ("rehearsal_train",)
         cfg.DATASETS.TEST = ("rehearsal_val",)
         # shrink ONLY scale knobs; the recipe structure is untouched
@@ -116,7 +123,18 @@ def main():
         cfg.INPUT.MIN_SIZE_TEST = 96
         cfg.INPUT.MAX_SIZE_TEST = 128
         cfg.TEST.EVAL_PERIOD = 0
-        cfg.MODEL.RESNETS.DEPTH = 18
+        if "resnet" in cfg.MODEL.BACKBONE.NAME:
+            cfg.MODEL.RESNETS.DEPTH = 18
+        if cfg.MODEL.BACKBONE.NAME == "build_hourglass_backbone":
+            # shrink the hourglass the same way (trainable BN stays on)
+            cfg.MODEL.HOURGLASS.STACKS = 1
+            cfg.MODEL.HOURGLASS.STEM_OUT_CHANNELS = 16
+            cfg.MODEL.HOURGLASS.DEPTH_BLOCK = 2
+            cfg.MODEL.HOURGLASS.CHANNELS_BLOCK = [16, 16, 24]
+            cfg.MODEL.HOURGLASS.NUM_CONV_BLOCK = [1, 1, 1]
+            cfg.MODEL.HOURGLASS.NORM = "BN"
+            cfg.MODEL.HOURGLASS.OUT_FEATURES = ["hourglass2"]
+            cfg.MODEL.CORNER_NET.IN_FEATURES = ["hourglass2"]
         cfg.TPU.COMPUTE_DTYPE = "float32"
         cfg.TPU.MAX_GT_PER_IMAGE = 10
         cfg.DATALOADER.NUM_WORKERS = 0
