@@ -65,10 +65,19 @@ def _bench_train(cfg, det, h, w):
         state, metrics = step(state, batch)
         float(metrics["total_loss"])  # force execution (axon tunnel)
 
+    # Pipelined dispatch: enqueue every step (each depends on the previous
+    # state, so the device executes them back-to-back), then fetch once. This
+    # measures device throughput the way a real training loop runs — the
+    # host is NOT required to round-trip the tunnel between steps (on a TPU
+    # VM block_until_ready costs ~0; through the axon tunnel a per-step fetch
+    # adds ~25 ms of pure measurement overhead).
     t0 = time.perf_counter()
+    all_metrics = []
     for _ in range(TRAIN_ITERS):
         state, metrics = step(state, batch)
-        float(metrics["total_loss"])
+        all_metrics.append(metrics)
+    for m in all_metrics:
+        assert np.isfinite(float(m["total_loss"]))
     dt = time.perf_counter() - t0
     return TRAIN_BATCH * TRAIN_ITERS / dt
 
@@ -97,15 +106,20 @@ def main():
 
     predict = jax.jit(det.predict)
     # NOTE: under the axon TPU tunnel, block_until_ready is a no-op and
-    # execution is deferred until a host fetch — so we fetch a (small) output
-    # every iteration to force + time real device work.
+    # execution is deferred until a host fetch — a (small) output fetch
+    # forces real device work. The timed loop enqueues all iterations first
+    # and then fetches each output (pipelined dispatch): the device runs the
+    # iterations back-to-back while fetches drain, exactly like a serving
+    # loop that overlaps host I/O with device compute. Fetching inside the
+    # loop instead would add a ~25 ms tunnel round-trip per iteration of
+    # pure measurement artifact (VALIDATION.md round-3 notes).
     for _ in range(WARMUP):
         np.asarray(predict(variables, batch)["scores"])
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = predict(variables, batch)
-        np.asarray(out["scores"])
+    outs = [predict(variables, batch)["scores"] for _ in range(ITERS)]
+    for o in outs:
+        np.asarray(o)
     dt = time.perf_counter() - t0
     img_s = BATCH * ITERS / dt
 

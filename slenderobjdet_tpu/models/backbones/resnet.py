@@ -21,6 +21,18 @@ import jax.numpy as jnp
 
 from ..layers import FrozenBatchNorm, get_norm
 
+
+# NOTE on the stem (round-3 measurement, VALIDATION.md): the MLPerf
+# space-to-depth trick — evaluating the 7x7/2 stem as a 4x4/1 conv over a
+# 2x2 space-to-depth input to raise the MXU contraction from 3 to 192 lanes —
+# was implemented and measured SLOWER end-to-end on v5e via XLA: the 4x4/1
+# conv over (H/2, W/2, 12) lowers to 21.0 ms at B=32 800x1344 vs 10.2 ms for
+# the plain 7x7/2 over (H, W, 3) (and the bf16 s2d relayout alone costs
+# 8.1 ms). XLA's small-channel conv path already picks a better internal
+# layout than the hand-packed 12-channel form. The stem therefore stays a
+# plain conv; remaining stem headroom belongs to a fused Pallas
+# conv+relu+maxpool kernel, not a reformulation.
+
 # depth -> (block type, stage block counts)
 RESNET_SPECS = {
     18: ("basic", (2, 2, 2, 2)),
