@@ -132,8 +132,14 @@ from .backbones.hourglass import build_hourglass_backbone  # noqa: E402
 BACKBONE_REGISTRY.register(build_hourglass_backbone, name="build_hourglass_backbone")
 
 from .backbones import vt_fpn  # noqa: E402,F401  (registers PVT/VT-FPN builders)
+
+# The ablation chassis (reference meta/meta.py METAARCH_REGISTRY +
+# meta/heads/* MEAT_HEADS_REGISTRY) dispatches heads by cfg.MODEL.META_ARCH
+# .NAME inside AblationMetaArch; this registry records the available head
+# names for discoverability/validation. Values are the head names themselves
+# (the implementations live in meta_arch/ablation.py, not separate classes).
 for _head in ("LRTBHead", "LRTBTopkHead", "PointSetHead", "AnchorHead"):
-    META_HEADS_REGISTRY.register(AblationMetaArch, name=_head)
+    META_HEADS_REGISTRY.register(_head, name=_head)
 
 __all__ = [
     "META_ARCH_REGISTRY",

@@ -15,6 +15,9 @@ from slenderobjdet_tpu.models import build_model
 
 from test_model_fcos import make_batch
 
+# full-tier: heavy oracle/convergence coverage (smoke tier = -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _rcnn_cfg(meta_arch="ProposalVisibleRCNNWithAnchor"):
     from conftest import make_tiny_cfg

@@ -76,3 +76,4 @@ def test_fpn_gn_norm_applied():
     assert "bias" not in params["fpn_lateral0"]
     feats = spec.module.apply(variables, x)
     assert np.isfinite(np.asarray(feats["p3"])).all()
+

@@ -9,6 +9,9 @@ from slenderobjdet_tpu.structures.borders import (
     radial_fraction,
 )
 
+# full-tier: heavy oracle/convergence coverage (smoke tier = -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def square_poly(x0, y0, w, h):
     return [np.array([x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h],

@@ -7,6 +7,9 @@ from slenderobjdet_tpu.checkpoint import DetectionCheckpointer, import_d2_weight
 from slenderobjdet_tpu.engine.train_loop import TrainState
 from slenderobjdet_tpu.solver import build_optimizer
 
+# full-tier: heavy oracle/convergence/subprocess coverage (smoke tier = -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def test_save_load_roundtrip(tmp_path, tiny_cfg, tiny_fcos):
     det, variables = tiny_fcos

@@ -10,6 +10,9 @@ from slenderobjdet_tpu.models.layers import DFConv2d
 
 from test_model_fcos import make_batch
 
+# full-tier: heavy oracle/convergence coverage (smoke tier = -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def test_dfconv2d_zero_offsets_equal_plain_conv(rng):
     """offset_conv is zero-initialized, so at init DFConv2d(v1) == plain

@@ -7,6 +7,9 @@ from slenderobjdet_tpu.models import build_model
 
 from test_model_fcos import make_batch
 
+# full-tier: heavy oracle/convergence/subprocess coverage (smoke tier = -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_rcnn():

@@ -11,6 +11,9 @@ from slenderobjdet_tpu.models.meta_arch.reppoints import (
 
 from test_model_fcos import make_batch
 
+# full-tier: heavy oracle/convergence/subprocess coverage (smoke tier = -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def oracle_rep_assign(centers, lvls, gts, lvl_min, lvl_max, scale=4.0):
     """Loop transcription of rep_points_match (rep_matcher.py:9-101)."""

@@ -3,6 +3,11 @@ using the 8 virtual CPU devices from conftest."""
 
 import sys, os
 
+import pytest
+
+# full-tier: heavy oracle/convergence/subprocess coverage (smoke tier = -m 'not slow')
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 

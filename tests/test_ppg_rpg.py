@@ -12,6 +12,9 @@ from slenderobjdet_tpu.models import build_model
 
 from test_model_fcos import make_batch
 
+# full-tier: heavy oracle/convergence/subprocess coverage (smoke tier = -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def test_likelihood_loss_matches_torch_oracle(rng):
     """likelyhood_loss (ppg.py:14-31) transcribed with torch.F.grid_sample

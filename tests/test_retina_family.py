@@ -13,6 +13,9 @@ from slenderobjdet_tpu.models import build_model
 
 from test_model_fcos import make_batch
 
+# full-tier: heavy oracle/convergence/subprocess coverage (smoke tier = -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _cfg(meta_arch):
     from conftest import make_tiny_cfg

@@ -7,6 +7,9 @@ import pytest
 
 from slenderobjdet_tpu.models import build_model
 
+# full-tier: heavy oracle/convergence/subprocess coverage (smoke tier = -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def make_rotated_batch(B=1, H=64, W=64, G=6, seed=0):
     r = np.random.RandomState(seed)
