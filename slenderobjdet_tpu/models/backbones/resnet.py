@@ -80,10 +80,44 @@ class BottleneckBlock(nn.Module):
     norm: str = "FrozenBN"
     deform: bool = False           # DEFORM_ON_PER_STAGE: conv2 -> DFConv2d
     deform_modulated: bool = False
+    fused: bool = False            # MODEL.RESNETS.FUSED_BLOCKS (Pallas)
     dtype: Any = jnp.float32
+
+    def _fused_eligible(self) -> bool:
+        return (self.fused and self.stride == 1 and not self.deform
+                and self.groups == 1 and self.dilation == 1
+                and self.norm == "FrozenBN" and not self.is_initializing())
+
+    def _fused_call(self, x):
+        """Single fused Pallas kernel for the whole block (ops/
+        fused_bottleneck.py): FrozenBN is folded into per-conv (weight, bias)
+        and the 1x1/3x3/1x1(+shortcut) chain runs VMEM-resident. Parameters
+        were created by the normal path during init, so the pytree is
+        identical; this path only reads them."""
+        from ...ops.fused_bottleneck import fused_bottleneck
+
+        p = self.variables["params"]
+        bufs = self.variables["buffers"]
+
+        def fold(kernel, idx):
+            s = bufs[f"FrozenBatchNorm_{idx}"]["scale"]
+            b = bufs[f"FrozenBatchNorm_{idx}"]["bias"]
+            return (kernel * s).astype(self.dtype), b
+
+        w1, b1 = fold(p["conv1"]["kernel"][0, 0], 0)
+        w2, b2 = fold(p["conv2"]["kernel"], 1)
+        w3, b3 = fold(p["conv3"]["kernel"][0, 0], 2)
+        if "shortcut" in p:
+            wsc, bsc = fold(p["shortcut"]["kernel"][0, 0], 3)
+        else:
+            wsc, bsc = None, None
+        return fused_bottleneck(x.astype(self.dtype), w1, b1, w2, b2, w3,
+                                b3, wsc, bsc)
 
     @nn.compact
     def __call__(self, x):
+        if self._fused_eligible():
+            return self._fused_call(x)
         s1, s3 = (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
 
         out = nn.Conv(self.bottleneck, (1, 1), (s1, s1), use_bias=False,
@@ -133,6 +167,7 @@ class ResNet(nn.Module):
     res5_dilation: int = 1
     deform_on_per_stage: Sequence[bool] = (False, False, False, False)
     deform_modulated: bool = False
+    fused_blocks: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -170,6 +205,7 @@ class ResNet(nn.Module):
                         norm=self.norm,
                         deform=self.deform_on_per_stage[stage_idx],
                         deform_modulated=self.deform_modulated,
+                        fused=self.fused_blocks,
                         dtype=self.dtype,
                         name=f"{name}_{block_idx}",
                     )(out)
@@ -211,6 +247,7 @@ def resnet_from_cfg(cfg, dtype=jnp.float32) -> ResNet:
         res5_dilation=r.RES5_DILATION,
         deform_on_per_stage=tuple(r.DEFORM_ON_PER_STAGE),
         deform_modulated=r.DEFORM_MODULATED,
+        fused_blocks=getattr(r, "FUSED_BLOCKS", False),
         dtype=dtype,
     )
 
