@@ -41,25 +41,24 @@ def _gather_bilinear_zeropad_batched(feat: jnp.ndarray, ys: jnp.ndarray,
                                      xs: jnp.ndarray):
     """feat (B, H, W, C); ys/xs (B, ...) -> (B, ..., C); zero outside.
 
-    TPU formulation (round-3 measurements, VALIDATION.md):
-    - XLA's row gather on v5e is ROW-RATE limited (~130 M rows/s) and
-      essentially independent of row width up to 4 KB (35 GB/s at 256 B rows
-      vs 524 GB/s at 4 KB rows). So instead of 4 corner gathers per bilinear
-      tap, we build a QUAD table whose row (y, x) holds all four corners
-      [f(y,x), f(y,x+1), f(y+1,x), f(y+1,x+1)] from a zero-padded copy of
-      the feature map and gather ONE 4C-wide row per tap.
-    - a vmapped per-image gather lowers to a batched gather that runs ~5x
-      slower (27 M rows/s measured) than one flat gather, so the batch is
-      folded into a single (B*(H+1)*(W+1), 4C) table with image-offset
-      indices and gathered in ONE call.
-    - the 4 corners are combined via LANE-dimension slices of the 4C row
-      (offsets are multiples of C >= 128: no cross-lane movement); a
-      (..., 4, C) reshape instead would relayout the whole gathered tensor
-      (measured 51 ms for the epilogue alone at B=8 P3 C=512).
+    TPU formulation (round-3 A/B measurements on the chip, VALIDATION.md):
+    the batch is folded into ONE flat (B*H*W, C) table with image-offset
+    row indices and the 4 bilinear corners are 4 narrow gathers from it.
+    Two alternatives were built and measured end-to-end on the DCN access
+    pattern (B=8, 100x168, K=9):
+    - a vmapped per-image gather (lowers to a batched gather): parity at
+      C=256 — the flat fold is kept because it also composes with any
+      leading batch dims without a vmap;
+    - a QUAD-table variant (one 4C-wide row per tap from a precomputed
+      4-corner table, motivated by a rows/s microbenchmark): parity at
+      C=256 end-to-end (61 vs 62 ms) and OOMs at C=512 — the (B,H,W,K,4C)
+      gathered tensor materializes at 8.2 GB after (K,4C) tile padding.
+      The microbenchmark's width-invariant row rate does not transfer:
+      the end-to-end op is bound by total gathered bytes, and the quad
+      rows quadruple them.
 
-    Boundary semantics match torch DCN exactly: the zero padding makes
-    partially-outside taps blend against zeros, and fully-outside taps
-    (ys <= -1 or >= h, same for x) are masked to zero.
+    Boundary semantics match torch DCN exactly: fully/partially-outside
+    taps blend against zeros (clip + inside-mask folded into the weights).
 
     The gather runs in feat's OWN dtype (bf16 halves the traffic) and the
     interpolation weights are applied in that dtype too — the following MXU
@@ -73,35 +72,28 @@ def _gather_bilinear_zeropad_batched(feat: jnp.ndarray, ys: jnp.ndarray,
     y0 = y0f.astype(jnp.int32)
     x0 = x0f.astype(jnp.int32)
 
-    # zero-padded feature (1-pixel halo) and its quad table: row (bi, i, j)
-    # holds fp[i, j], fp[i, j+1], fp[i+1, j], fp[i+1, j+1] where
-    # fp[i, j] = feat[bi, i-1, j-1] (zeros outside) — i.e. the 4 bilinear
-    # corners of floor position (y0, x0) = (i-1, j-1) of image bi.
-    fp = jnp.pad(feat, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    quad = jnp.concatenate(
-        [fp[:, :-1, :-1], fp[:, :-1, 1:], fp[:, 1:, :-1], fp[:, 1:, 1:]],
-        axis=-1,
-    ).reshape(b * (h + 1) * (w + 1), 4 * c)
-
-    iq = ((jnp.clip(y0, -1, h - 1) + 1) * (w + 1)
-          + (jnp.clip(x0, -1, w - 1) + 1))
+    flat = feat.reshape(b * h * w, c)
     img_off = jnp.arange(b, dtype=jnp.int32).reshape(
-        (b,) + (1,) * (iq.ndim - 1)) * ((h + 1) * (w + 1))
-    rows = jnp.take(quad, (iq + img_off).reshape(-1), axis=0)
-    rows = rows.reshape(*iq.shape, 4 * c)
+        (b,) + (1,) * (y0.ndim - 1)) * (h * w)
 
-    # fully-outside taps fold into the per-corner weights
-    valid = ((ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w))[..., None]
-    v = valid.astype(feat.dtype)
-    out = (rows[..., 0 * c:1 * c] * ((one - ly) * (one - lx) * v)
-           + rows[..., 1 * c:2 * c] * ((one - ly) * lx * v)
-           + rows[..., 2 * c:3 * c] * (ly * (one - lx) * v)
-           + rows[..., 3 * c:4 * c] * (ly * lx * v))
-    return out
+    def tap(yi, xi, wgt):
+        inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        idx = (jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+               + img_off)
+        vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+            *idx.shape, c)
+        return vals * (wgt * inside[..., None].astype(feat.dtype))
+
+    return (
+        tap(y0, x0, (one - ly) * (one - lx))
+        + tap(y0, x0 + 1, (one - ly) * lx)
+        + tap(y0 + 1, x0, ly * (one - lx))
+        + tap(y0 + 1, x0 + 1, ly * lx)
+    )
 
 
 def _gather_bilinear_zeropad(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
-    """Single-image wrapper of the batched quad gather (see above)."""
+    """Single-image wrapper of the batched flat gather (see above)."""
     return _gather_bilinear_zeropad_batched(
         feat[None], ys[None], xs[None])[0]
 

@@ -52,6 +52,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--fused", action="store_true",
+                    help="run stride-1 bottlenecks via the fused Pallas "
+                         "kernel (MODEL.RESNETS.FUSED_BLOCKS)")
     args = ap.parse_args()
     B, K = args.batch, args.reps
     H, W = 800, 1344
@@ -105,7 +108,7 @@ def main():
                 x = BottleneckBlock(
                     features=self.out_ch, bottleneck=self.bottleneck,
                     stride=self.stride if i == 0 else 1, norm="FrozenBN",
-                    dtype=dt, name=f"b{i}")(x)
+                    fused=args.fused, dtype=dt, name=f"b{i}")(x)
             return x
 
     def stage_flops(n, cin, mid, cout, ho, wo):
@@ -123,7 +126,7 @@ def main():
         bench_module(name, Stage(n=n, bottleneck=mid, out_ch=cout, stride=s),
                      (B, h, w, cin), f)
 
-    bb = ResNet(depth=50, norm="FrozenBN",
+    bb = ResNet(depth=50, norm="FrozenBN", fused_blocks=args.fused,
                 out_features=("res3", "res4", "res5"), dtype=dt)
     bench_module("full-resnet50", bb, (B, H, W, 3), total_f)
 
@@ -132,6 +135,10 @@ def main():
     from slenderobjdet_tpu.models import build_model
 
     cfg = _flagship_cfg()
+    if args.fused:
+        cfg.defrost()
+        cfg.MODEL.RESNETS.FUSED_BLOCKS = True
+        cfg.freeze()
     det = build_model(cfg)
     variables = det.init_variables(rng, (H, W), batch_size=B)
     x = jnp.zeros((B, H, W, 3), dt)
