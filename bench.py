@@ -115,23 +115,38 @@ def main():
     # loop that overlaps host I/O with device compute. Fetching inside the
     # loop instead would add a ~25 ms tunnel round-trip per iteration of
     # pure measurement artifact (VALIDATION.md round-3 notes).
-    det = None
-    for try_cfg in (fused_cfg, cfg):
+    # Race the two backbone paths (plain XLA vs fused Pallas blocks) with a
+    # short measured heat and keep the winner — never trust that a kernel
+    # that compiles is also faster (round-3 lesson: the first fused-block
+    # variant compiled fine and cost 5%).
+    candidates = []
+    for name, try_cfg in (("plain", cfg), ("fused", fused_cfg)):
         try:
-            det = build_model(try_cfg)
+            d = build_model(try_cfg)
             rng = jax.random.PRNGKey(0)
-            variables = det.init_variables(rng, (h, w), batch_size=BATCH)
-            predict = jax.jit(det.predict)
+            v = d.init_variables(rng, (h, w), batch_size=BATCH)
+            p = jax.jit(d.predict)
             for _ in range(WARMUP):
-                np.asarray(predict(variables, batch)["scores"])
-            break
+                np.asarray(p(v, batch)["scores"])
+            t0 = time.perf_counter()
+            heat = [p(v, batch)["scores"] for _ in range(3)]
+            for o in heat:
+                np.asarray(o)
+            candidates.append((time.perf_counter() - t0, name, p, v))
         except Exception as e:  # pragma: no cover - hardware-dependent
             import sys
 
-            print(f"fused-path bench failed ({type(e).__name__}: {e}); "
-                  "falling back to plain backbone", file=sys.stderr)
-            det = None
-    assert det is not None
+            print(f"{name}-path bench failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+    assert candidates
+    candidates.sort(key=lambda c: c[0])
+    _, chosen, predict, variables = candidates[0]
+    if len(candidates) == 2:
+        import sys
+
+        print(f"path heat: {chosen} wins "
+              f"({candidates[0][0]:.3f}s vs {candidates[1][0]:.3f}s "
+              f"{candidates[1][1]})", file=sys.stderr)
 
     t0 = time.perf_counter()
     outs = [predict(variables, batch)["scores"] for _ in range(ITERS)]
@@ -140,7 +155,7 @@ def main():
     dt = time.perf_counter() - t0
     img_s = BATCH * ITERS / dt
 
-    del variables, batch
+    del variables, batch, candidates
     # train measured on the plain backbone (the fused block's custom-VJP
     # backward recomputes via XLA; fused-train is a separate measurement)
     train_img_s = _bench_train(cfg, build_model(cfg), h, w)

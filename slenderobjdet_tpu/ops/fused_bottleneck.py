@@ -59,9 +59,9 @@ def _make_kernel(H: int, TH: int, W: int, cin: int, cm: int, cout: int,
     def kernel(xp_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                *rest):
         if proj:
-            wsc_ref, bsc_ref, out_ref, xbuf, a1buf, acc2, sem = rest
+            wsc_ref, bsc_ref, out_ref, xbuf, sem = rest
         else:
-            out_ref, xbuf, a1buf, acc2, sem = rest
+            out_ref, xbuf, sem = rest
         i = pl.program_id(1)
 
         # ---- halo DMA: rows [i*TH, i*TH + TH + 2) of the row-padded input
@@ -79,26 +79,39 @@ def _make_kernel(H: int, TH: int, W: int, cin: int, cm: int, cout: int,
         g = (jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W, 1), 0)
              + i * TH - 1)
         valid = (g >= 0) & (g < H)
-        a1 = lax.dot_general(
+        a1f = lax.dot_general(
             x, w1_ref[:],
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b1_ref[:][None].astype(jnp.float32)
-        a1 = jnp.where(valid, jnp.maximum(a1, 0.0), 0.0).astype(x.dtype)
+        a1f = jnp.where(valid, jnp.maximum(a1f, 0.0), 0.0)
 
-        # ---- 3x3 conv: zero ring + 9 shifted matmuls
-        a1buf[:] = jnp.zeros((TH + 2, W + 2, cm), x.dtype)
-        a1buf[:, 1:W + 1, :] = a1
+        # ---- 3x3 conv as 9 matmuls over column-shifted a1 variants.
+        # Column shifts use pltpu.roll (cheap sublane shuffle) with the
+        # wrapped edge column zeroed — NOT unaligned sublane slices of a
+        # zero-ringed buffer, which Mosaic lowers to a full relayout copy
+        # per tap. Rolls happen on the fp32 conv1 output (Mosaic's rotate
+        # supports only 32-bit data), then cast to the compute dtype. Row
+        # shifts are leading-dim slices (free).
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+        zero = jnp.zeros((), jnp.float32)
+        a1 = a1f.astype(x.dtype)
+        a1_l = jnp.where(col > 0, pltpu.roll(a1f, 1, axis=1),
+                         zero).astype(x.dtype)
+        a1_r = jnp.where(col < W - 1, pltpu.roll(a1f, W - 1, axis=1),
+                         zero).astype(x.dtype)
+        variants = (a1_l, a1, a1_r)     # kx = 0, 1, 2 (reads col j-1+kx)
 
-        acc2[:] = jnp.zeros((TH, W, cm), jnp.float32)
+        acc = None
         for ky in range(3):
             for kx in range(3):
-                acc2[:] += lax.dot_general(
-                    a1buf[ky:ky + TH, kx:kx + W, :], w2_ref[3 * ky + kx],
+                term = lax.dot_general(
+                    variants[kx][ky:ky + TH], w2_ref[3 * ky + kx],
                     dimension_numbers=(((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-        a2 = jnp.maximum(acc2[:] + b2_ref[:][None].astype(jnp.float32),
+                acc = term if acc is None else acc + term
+        a2 = jnp.maximum(acc + b2_ref[:][None].astype(jnp.float32),
                          0.0).astype(x.dtype)             # (TH, W, Cm)
 
         # ---- conv3 (+ shortcut) + relu, chunked over output channels
@@ -123,9 +136,27 @@ def _make_kernel(H: int, TH: int, W: int, cin: int, cm: int, cout: int,
     return kernel
 
 
-def _pick_th(H: int) -> int:
-    for th in (16, 8, 4, 2):
-        if H >= th:
+_VMEM_LIMIT = 96 * 1024 * 1024   # v5e has 128 MiB VMEM; leave headroom
+_VMEM_BUDGET = 64 * 1024 * 1024  # target working set for tile sizing
+
+
+def _vmem_estimate(TH: int, W: int, cin: int, cm: int, cout: int,
+                   cchunk: int) -> int:
+    """Rough VMEM working set of one grid step (see kernel buffers)."""
+    out2 = 2 * TH * W * cout * 2          # double-buffered output block
+    xb = (TH + 2) * W * cin * 2           # halo tile
+    a1v = 3 * (TH + 2) * W * cm * 2       # a1 + two column-shifted variants
+    a1f = (TH + 2) * W * cm * 4           # fp32 conv1 temp before mask/cast
+    acc = TH * W * cm * 4                 # 3x3 accumulator
+    tch = 2 * TH * W * cchunk * 4         # conv3 chunk (+shortcut) fp32
+    return out2 + xb + a1v + a1f + acc + tch
+
+
+def _pick_th(H: int, W: int, cin: int, cm: int, cout: int,
+             cchunk: int) -> int:
+    for th in (32, 16, 8, 4, 2):
+        if H >= th and _vmem_estimate(th, W, cin, cm, cout,
+                                      cchunk) <= _VMEM_BUDGET:
             return th
     return 1
 
@@ -136,11 +167,28 @@ def _fused_forward(x, w1, b1, w2, b2, w3, b3, wsc, bsc, interpret=False):
     cm = w1.shape[1]
     cout = w3.shape[1]
     proj = wsc is not None
-    TH = _pick_th(H)
+    if W % 8 != 0:
+        # Mosaic HBM slices must be 8-aligned on the sublane dim; stages
+        # with unaligned W (res4/res5 at 800x1344: W=84/42) stay on the XLA
+        # composition — they run near the conv compute ceiling anyway
+        # (the fusion targets the bandwidth-bound res2/res3).
+        return reference_bottleneck(x, w1, b1, w2, b2, w3, b3, wsc, bsc)
+    cchunk = min(cout, 128)
+    TH = _pick_th(H, W, max(cin, 128), cm, cout, cchunk)
     nH = _cdiv(H, TH)
+    # Mosaic requires HBM slices to be 128-aligned on the lane (minor) dim:
+    # lane-pad Cin < 128 with zeros (and w1/wsc rows to match) — only the
+    # stem-fed first res2 block (Cin=64) pays this, and zeros contribute
+    # nothing to the matmuls.
+    if cin < 128:
+        pad_c = 128 - cin
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+        w1 = jnp.pad(w1, ((0, pad_c), (0, 0)))
+        if proj:
+            wsc = jnp.pad(wsc, ((0, pad_c), (0, 0)))
+        cin = 128
     # row padding: 1 halo row on top, halo + ragged-tile rows at the bottom
     xp = jnp.pad(x, ((0, 0), (1, nH * TH - H + 1), (0, 0), (0, 0)))
-    cchunk = min(cout, 128)
 
     kernel = _make_kernel(H, TH, W, cin, cm, cout, proj, cchunk)
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -168,8 +216,6 @@ def _fused_forward(x, w1, b1, w2, b2, w3, b3, wsc, bsc, interpret=False):
         out_shape=jax.ShapeDtypeStruct((B, H, W, cout), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((TH + 2, W, cin), x.dtype),        # halo tile
-            pltpu.VMEM((TH + 2, W + 2, cm), x.dtype),     # conv1 out + ring
-            pltpu.VMEM((TH, W, cm), jnp.float32),         # 3x3 accumulator
             pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
@@ -177,6 +223,8 @@ def _fused_forward(x, w1, b1, w2, b2, w3, b3, wsc, bsc, interpret=False):
             bytes_accessed=x.size * x.dtype.itemsize * 2,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*args)
     return out

@@ -155,6 +155,20 @@ def main():
     t = timed_reps(fwd, variables, x, K)
     rows.append(("fwd(backbone+head)", t * 1e3, 0, 0))
 
+    # --- full predict incl. postprocess (uint8 in, topk + NMS + rescale).
+    # timed_reps perturbs x by an fp32 carry; predict takes the image via a
+    # batch dict, so close over the static fields.
+    scale = jnp.full((B,), 800.0 / 1333.0, jnp.float32)
+    orig = jnp.asarray([[1333, 2000]] * B, jnp.float32)
+    xu8 = jnp.zeros((B, H, W, 3), jnp.uint8)
+
+    def pred(v, xx):
+        return det.predict(v, {"image": xx.astype(jnp.uint8),
+                               "scale": scale, "orig_size": orig})
+
+    t = timed_reps(pred, variables, xu8.astype(jnp.int32), K)
+    rows.append(("predict(full)", t * 1e3, 0, 0))
+
     print(f"\nB={B} 800x1344 bf16 — {K} in-graph reps, ms per execution")
     print(f"{'stage':24s} {'ms':>9s} {'GFLOP/img':>10s} {'TFLOPS':>8s}")
     for name, ms, gf, tf in rows:
