@@ -592,16 +592,16 @@ class AblationMetaArch:
         cls_l, _, init_l, refine_l = self.module.apply(variables, images)
         boxes_l = self._pointset_boxes(refine_l, centers_np, counts)
 
+        from ...ops.topk import pair_top_k
+
         cb, cs, cc, cv = [], [], [], []
         for logits, boxes in zip(cls_l, boxes_l):
-            bsz, L, C = logits.shape
-            scores = jax.nn.sigmoid(logits).reshape(bsz, L * C)
-            k = min(self.topk_candidates, L * C)
-            top_scores, top_idx = jax.lax.top_k(scores, k)
-            loc_idx = top_idx // C
+            scores = jax.nn.sigmoid(logits.astype(jnp.float32))  # (B, L, C)
+            top_scores, loc_idx, cls_idx = pair_top_k(
+                scores, self.topk_candidates, approx=False)
             cb.append(jnp.take_along_axis(boxes, loc_idx[..., None], axis=1))
             cs.append(top_scores)
-            cc.append((top_idx % C).astype(jnp.int32))
+            cc.append(cls_idx)
             cv.append(top_scores > self.score_thresh)
         return self._nms_all(cb, cs, cc, cv, batch)
 
@@ -666,17 +666,17 @@ class AblationMetaArch:
         for lvl in range(len(counts)):
             lvl_anchors = jnp.asarray(anchors_np[offsets[lvl]: offsets[lvl + 1]])
             logits, regs = cls_l[lvl], refine_l[lvl]
-            bsz, N, C = logits.shape
-            scores = jax.nn.sigmoid(logits).reshape(bsz, N * C)
-            k = min(self.topk_candidates, N * C)
-            top_scores, top_idx = jax.lax.top_k(scores, k)
-            a_idx = top_idx // C
+            from ...ops.topk import pair_top_k
+
+            scores = jax.nn.sigmoid(logits.astype(jnp.float32))  # (B, N, C)
+            top_scores, a_idx, cls_idx = pair_top_k(
+                scores, self.topk_candidates, approx=False)
             sel_regs = jnp.take_along_axis(regs, a_idx[..., None], axis=1)
             boxes = box_ops.apply_deltas(sel_regs, lvl_anchors[a_idx],
                                          weights=self.bbox_reg_weights)
             cb.append(boxes)
             cs.append(top_scores)
-            cc.append((top_idx % C).astype(jnp.int32))
+            cc.append(cls_idx)
             cv.append(top_scores > self.score_thresh)
         return self._nms_all(cb, cs, cc, cv, batch)
 

@@ -454,52 +454,26 @@ def _fcos_level_candidates(logits, reg, ctr, locations, pre_nms_thresh,
     Returns (B, K, 4), (B, K), (B, K) int32, (B, K) bool with
     K = min(pre_nms_top_n, L*C).
 
-    Two-stage selection on large levels: the top-K (location, class) pairs
-    span at most K locations, and any location holding a top-K pair must be
-    among the top-K locations ranked by its class-max of the SAME masked
-    rank statistic the flat top-k uses (its max is >= that pair's rank;
-    K locations with a larger max would mean K higher-ranked pairs).
-    Stage 1 is one fused pass over the (B, L, C) tensor reduced to (B, L);
-    the pair top-k, gathers and decode then run only on the K surviving
-    rows. Selection-identical to the flat top-k (up to ties / approx_max_k
-    recall); cuts FCOS postprocess from 45 ms to single digits at B=32
-    800x1344.
+    Uses ops.topk.pair_top_k (two-stage location-first selection on large
+    levels, selection-identical to the flat top-k — see its docstring and
+    tests/test_postprocess.py); cut FCOS postprocess from 45 ms to 12 ms
+    at B=32 800x1344. Every ranking factor (threshold mask, centerness) is
+    baked into the rank tensor passed down, as pair_top_k requires.
     """
-    bsz, L, C = logits.shape
-    from ...ops.topk import fast_top_k
+    from ...ops.topk import pair_top_k
 
-    kloc = min(pre_nms_top_n, L)
-    if L > kloc:
-        # ---- stage 1: top locations by class-max of the masked rank
-        s = jax.nn.sigmoid(logits.astype(jnp.float32))
-        rank1 = jnp.max(jnp.where(s > pre_nms_thresh, s, 0.0), axis=-1)
-        if ctr is not None:
-            rank1 = rank1 * jax.nn.sigmoid(ctr.astype(jnp.float32))
-        _, loc_sel = fast_top_k(rank1, kloc, approx=approx)     # (B, kloc)
-        logits = jnp.take_along_axis(logits, loc_sel[..., None], axis=1)
-        if ctr is not None:
-            ctr = jnp.take_along_axis(ctr, loc_sel, axis=1)
-    else:
-        loc_sel = None
-
-    # ---- stage 2: flat (location, class) top-k on the survivors
-    scores = jax.nn.sigmoid(logits.astype(jnp.float32))         # (B, kloc, C)
+    scores = jax.nn.sigmoid(logits.astype(jnp.float32))         # (B, L, C)
     candidate = scores > pre_nms_thresh
     if ctr is not None:
         ranked = scores * jax.nn.sigmoid(
             ctr.astype(jnp.float32))[:, :, None]  # cls * centerness
     else:
         ranked = scores       # NC variant (retina_fcosv2_nc.py:240-268)
+    rank = jnp.where(candidate, ranked, 0.0)
 
-    flat_rank = jnp.where(candidate, ranked, 0.0).reshape(bsz, kloc * C)
-    k = min(pre_nms_top_n, kloc * C)
-    top_scores, top_idx = fast_top_k(flat_rank, k, approx=approx)   # (B, K)
-
-    loc_idx = top_idx // C
-    cls_idx = (top_idx % C).astype(jnp.int32)
+    top_scores, loc_idx, cls_idx = pair_top_k(
+        rank, pre_nms_top_n, approx=approx)
     valid = top_scores > 0.0
-    if loc_sel is not None:
-        loc_idx = jnp.take_along_axis(loc_sel, loc_idx, axis=1)
 
     sel_reg = jnp.take_along_axis(reg, loc_idx[..., None], axis=1)  # (B,K,4)
     sel_loc = locations[loc_idx]                                    # (B,K,2)

@@ -291,14 +291,12 @@ class FCOSAnchor:
             ctr = jnp.repeat(ctr_l[lvl], A, axis=1)
             shp = shape_l[lvl]
 
-            bsz, N, C = logits.shape
-            scores = jax.nn.sigmoid(logits)
-            gate = jax.nn.sigmoid(ctr * shp)[..., None]
-            ranked = (scores * gate).reshape(bsz, N * C)
-            k = min(self.pre_nms_top_n, N * C)
-            top_scores, top_idx = jax.lax.top_k(ranked, k)
-            loc_idx = top_idx // C
-            cls_idx = (top_idx % C).astype(jnp.int32)
+            from ...ops.topk import pair_top_k
+
+            scores = jax.nn.sigmoid(logits.astype(jnp.float32))
+            gate = jax.nn.sigmoid((ctr * shp).astype(jnp.float32))[..., None]
+            top_scores, loc_idx, cls_idx = pair_top_k(
+                scores * gate, self.pre_nms_top_n, approx=False)
 
             sel_reg = jnp.take_along_axis(regs, loc_idx[..., None], axis=1)
             sel_off = a_off[loc_idx]

@@ -544,16 +544,13 @@ class RepPointsDetector:
         centers_np, counts, _ = self._centers(images.shape[1:3])
         boxes_l = self._decode_boxes(refine_l, centers_np, counts)
 
+        from ...ops.topk import pair_top_k
+
         cb, cs, cc, cv = [], [], [], []
         for lvl, (logits, boxes) in enumerate(zip(logits_l, boxes_l)):
-            bsz, L, C = logits.shape
-            scores = jax.nn.sigmoid(logits).reshape(bsz, L * C)
-            k = min(self.topk_candidates, L * C)
-            from ...ops.topk import fast_top_k
-
-            top_scores, top_idx = fast_top_k(scores, k, approx=self.approx_topk)
-            loc_idx = top_idx // C
-            cls_idx = (top_idx % C).astype(jnp.int32)
+            scores = jax.nn.sigmoid(logits.astype(jnp.float32))  # (B, L, C)
+            top_scores, loc_idx, cls_idx = pair_top_k(
+                scores, self.topk_candidates, approx=self.approx_topk)
             sel_boxes = jnp.take_along_axis(boxes, loc_idx[..., None], axis=1)
             cb.append(sel_boxes)
             cs.append(top_scores)

@@ -218,17 +218,17 @@ class RotatedRetinaNet:
         for lvl in range(len(counts)):
             lvl_anchors = jnp.asarray(anchors_np[offsets[lvl]: offsets[lvl + 1]])
             logits, regs = logits_l[lvl], regs_l[lvl]
-            bsz, N, C = logits.shape
-            scores = jax.nn.sigmoid(logits).reshape(bsz, N * C)
-            k = min(self.topk_candidates, N * C)
-            top_scores, top_idx = jax.lax.top_k(scores, k)
-            a_idx = top_idx // C
+            from ...ops.topk import pair_top_k
+
+            scores = jax.nn.sigmoid(logits.astype(jnp.float32))  # (B, N, C)
+            top_scores, a_idx, cls_idx = pair_top_k(
+                scores, self.topk_candidates, approx=False)
             sel = jnp.take_along_axis(regs, a_idx[..., None], axis=1)
             boxes = apply_rotated_deltas(sel, lvl_anchors[a_idx],
                                          weights=self.box_reg_weights)
             cb.append(boxes)
             cs.append(top_scores)
-            cc.append((top_idx % C).astype(jnp.int32))
+            cc.append(cls_idx)
             cv.append(top_scores > self.score_thresh)
 
         boxes = jnp.concatenate(cb, axis=1)

@@ -371,16 +371,11 @@ def _retina_level_candidates(logits, regs, anchors, score_thresh, topk,
     """d2 RetinaNet inference_single_image per level, fixed-shape: flatten
     (N*C) scores, top-k, then threshold mask (threshold AFTER topk, matching
     retinanetwa.py:112-124)."""
-    bsz, N, C = logits.shape
-    scores = jax.nn.sigmoid(logits).reshape(bsz, N * C)
-    k = min(topk, N * C)
-    from ...ops.topk import fast_top_k
+    from ...ops.topk import pair_top_k
 
-    top_scores, top_idx = fast_top_k(scores, k, approx=approx)
+    scores = jax.nn.sigmoid(logits.astype(jnp.float32))      # (B, N, C)
+    top_scores, anchor_idx, cls_idx = pair_top_k(scores, topk, approx=approx)
     valid = top_scores > score_thresh
-
-    anchor_idx = top_idx // C
-    cls_idx = (top_idx % C).astype(jnp.int32)
 
     sel_regs = jnp.take_along_axis(regs, anchor_idx[..., None], axis=1)
     sel_anchors = anchors[anchor_idx]
