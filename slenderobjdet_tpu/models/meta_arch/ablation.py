@@ -661,13 +661,13 @@ class AblationMetaArch:
         anchors_np, counts = self.anchor_spec.anchors(images.shape[1:3])
         cls_l, _, init_l, refine_l = self.module.apply(variables, images)
 
+        from ...ops.topk import pair_top_k
+
         offsets = np.concatenate([[0], np.cumsum(counts)])
         cb, cs, cc, cv = [], [], [], []
         for lvl in range(len(counts)):
             lvl_anchors = jnp.asarray(anchors_np[offsets[lvl]: offsets[lvl + 1]])
             logits, regs = cls_l[lvl], refine_l[lvl]
-            from ...ops.topk import pair_top_k
-
             scores = jax.nn.sigmoid(logits.astype(jnp.float32))  # (B, N, C)
             top_scores, a_idx, cls_idx = pair_top_k(
                 scores, self.topk_candidates, approx=False)

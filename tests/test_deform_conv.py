@@ -95,3 +95,34 @@ def test_modulated_mask(rng):
                       mask=jnp.full((H, W, 9), 0.5))
     )
     np.testing.assert_allclose(half, full * 0.5, atol=1e-5)
+
+
+def test_pair_gather_matches_flat(rng):
+    """The pair-table gather (2 rows of 2C per sample) must agree with the
+    4-tap flat gather everywhere, including boundary and far-outside
+    positions and exact-integer coordinates (fp32: identical weights, only
+    the summation grouping differs)."""
+    from slenderobjdet_tpu.ops.deform_conv import (
+        _gather_bilinear_pair_batched,
+        _gather_bilinear_zeropad_batched,
+    )
+
+    B, H, W, C, K = 2, 9, 11, 4, 7
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    ys = np.concatenate(
+        [
+            rng.rand(B, H, W, K - 3).astype(np.float32) * (H + 6) - 3,
+            rng.randint(-3, H + 3, (B, H, W, 3)).astype(np.float32),
+        ],
+        axis=-1,
+    )
+    xs = np.concatenate(
+        [
+            rng.rand(B, H, W, K - 3).astype(np.float32) * (W + 6) - 3,
+            rng.randint(-3, W + 3, (B, H, W, 3)).astype(np.float32),
+        ],
+        axis=-1,
+    )
+    a = _gather_bilinear_zeropad_batched(feat, jnp.asarray(ys), jnp.asarray(xs))
+    b = _gather_bilinear_pair_batched(feat, jnp.asarray(ys), jnp.asarray(xs))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
