@@ -62,3 +62,59 @@ def test_cornernet_predict(tiny_cornernet):
     if v.any():
         assert (b[v][:, 2] >= b[v][:, 0]).all()
         assert (b[v][:, 3] >= b[v][:, 1]).all()
+
+
+def _train_cornernet(norm, steps, lr=2e-3):
+    import optax
+
+    from slenderobjdet_tpu.config import get_cfg
+    from slenderobjdet_tpu.engine.train_loop import TrainState, make_train_step
+
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "CornerNet"
+    cfg.MODEL.HOURGLASS.STACKS = 1
+    cfg.MODEL.HOURGLASS.DEPTH_BLOCK = 3
+    cfg.MODEL.HOURGLASS.CHANNELS_BLOCK = [64, 64, 96, 96]
+    cfg.MODEL.HOURGLASS.NUM_CONV_BLOCK = [1, 1, 1, 2]
+    cfg.MODEL.HOURGLASS.STEM_OUT_CHANNELS = 32
+    cfg.MODEL.HOURGLASS.OUT_FEATURES = ["hourglass2"]
+    cfg.MODEL.HOURGLASS.NORM = norm
+    cfg.MODEL.CORNER_NET.IN_FEATURES = ["hourglass2"]
+    cfg.MODEL.CORNER_NET.NUM_CLASSES = 8
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.freeze()
+    det = build_model(cfg)
+    variables = det.init_variables(jax.random.PRNGKey(0))
+    tx = optax.sgd(lr, momentum=0.9)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        buffers=variables.get("buffers", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    step = make_train_step(det, tx, donate=False)
+    batch = make_batch(B=2, G=8)
+    batch["gt_classes"] = jnp.clip(batch["gt_classes"], 0, 7)
+    losses = []
+    for _ in range(steps):
+        state, m = step(state, batch)
+        losses.append(float(m["total_loss"]))
+    return losses
+
+
+def test_cornernet_bn_converges_where_frozen_affine_diverges():
+    """The reference trains its hourglass with real BatchNorm
+    (`slender_det/modeling/backbone/hourglass.py:16`, d2 nn.BatchNorm2d via
+    norm="BN"). With the norm-free/frozen-affine configuration the
+    norm-free tower blows up within a few steps (measured here: loss 3.9e3
+    then inf/nan), while trainable BN (running stats in the buffers
+    collection) converges on the same batch — the convergence evidence for
+    routing get_norm("BN") to real batch statistics."""
+    frozen = _train_cornernet("FrozenBN", steps=5)
+    bn = _train_cornernet("BN", steps=25)
+
+    assert all(np.isfinite(l) for l in bn), bn
+    assert bn[-1] < bn[0] * 0.5, bn
+    # frozen-affine: divergence — non-finite within 5 steps, or at best
+    # stuck far above where BN lands
+    assert (not all(np.isfinite(l) for l in frozen)) or min(frozen) > 10 * bn[-1]
