@@ -68,14 +68,16 @@ class BaseTrainer:
             import math
 
             data = cfg.TPU.MESH_DATA
+            non_data = cfg.TPU.MESH_MODEL * cfg.TPU.MESH_SPATIAL
             if data == -1:
                 # largest device count that divides the global batch
-                data = math.gcd(cfg.SOLVER.IMS_PER_BATCH, n_dev)
+                data = math.gcd(cfg.SOLVER.IMS_PER_BATCH, n_dev // non_data)
             from ..parallel import make_mesh
 
             self.mesh = make_mesh(
                 data=data, model=cfg.TPU.MESH_MODEL,
-                devices=jax.devices()[: data * cfg.TPU.MESH_MODEL],
+                spatial=cfg.TPU.MESH_SPATIAL,
+                devices=jax.devices()[: data * non_data],
             )
         else:
             self.mesh = None

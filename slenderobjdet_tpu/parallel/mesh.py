@@ -6,7 +6,10 @@ all_reduce in losses, gather at eval). The TPU-native design replaces all of
 that with a single jitted program over a `jax.sharding.Mesh`:
 
 - axis "data": batch sharding (the DP axis; collectives ride ICI)
-- axis "model": reserved for intra-layer (channel) sharding of wide heads
+- axis "model": intra-layer (channel) sharding of wide heads (TP)
+- axis "spatial": image-height sharding (spatial partitioning, the classic
+  TPU technique for detection resolutions that exceed one chip's HBM; GSPMD
+  inserts the conv halo exchanges automatically)
 
 Because loss normalizers are computed on the *global* (logical) batch inside
 one jit program, XLA inserts the psum that DDP did by hand — no explicit
@@ -25,19 +28,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+def make_mesh(data: int = -1, model: int = 1, spatial: int = 1,
+              devices=None) -> Mesh:
     devices = list(jax.devices()) if devices is None else list(devices)
     n = len(devices)
     if data == -1:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
-        data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    arr = np.array(devices).reshape(data, model)
-    return Mesh(arr, axis_names=("data", "model"))
+        assert n % (model * spatial) == 0, \
+            f"{n} devices not divisible by model={model}*spatial={spatial}"
+        data = n // (model * spatial)
+    assert data * model * spatial == n, \
+        f"mesh {data}x{model}x{spatial} != {n} devices"
+    arr = np.array(devices).reshape(data, model, spatial)
+    return Mesh(arr, axis_names=("data", "model", "spatial"))
 
 
 def mesh_from_cfg(cfg, devices=None) -> Mesh:
-    return make_mesh(cfg.TPU.MESH_DATA, cfg.TPU.MESH_MODEL, devices=devices)
+    return make_mesh(cfg.TPU.MESH_DATA, cfg.TPU.MESH_MODEL,
+                     cfg.TPU.MESH_SPATIAL, devices=devices)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -45,14 +52,29 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard images (B, H, W, C) over ('data', 'spatial'): batch over the DP
+    axis, image HEIGHT over the spatial axis. GSPMD partitions every conv
+    spatially and inserts the halo exchanges; flattened head tensors
+    (B, HW, C) reshard automatically."""
+    return NamedSharding(mesh, P("data", "spatial"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place every batch leaf with its leading axis sharded over 'data'."""
+    """Place every batch leaf with its leading axis sharded over 'data';
+    the image additionally shards its height over 'spatial' (no-op on
+    spatial=1 meshes)."""
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    im = image_sharding(mesh) if mesh.shape.get("spatial", 1) > 1 else sh
+    return {
+        k: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, im if k == "image" else sh), v)
+        for k, v in batch.items()
+    }
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
