@@ -171,9 +171,27 @@ class BaseTrainer:
     # ------------------------------------------------------------------ eval
     def test(self, state: Optional[TrainState] = None) -> Dict:
         cfg = self.cfg
+        own_state = state is None
         state = state or self.state
-        variables = {"params": state.params}
         buffers = state.buffers
+        if cfg.TEST.PRECISE_BN.ENABLED:
+            from ..models.layers import has_batch_stats, precise_bn_stats
+
+            if has_batch_stats(buffers):
+                # reference engine/defaults.py:104-112: recompute BN running
+                # stats as the plain average over NUM_ITER fresh train
+                # batches right before eval (and keep them, so the next
+                # checkpoint carries the precise stats)
+                loader = iter(build_detection_train_loader(cfg, seed=1))
+                n = max(1, cfg.TEST.PRECISE_BN.NUM_ITER)
+                images = (next(loader)["image"] for _ in range(n))
+                buffers = precise_bn_stats(
+                    self.detector.module,
+                    {"params": state.params, "buffers": buffers}, images)
+                state = state.replace(buffers=buffers)
+                if own_state:
+                    self.state = state
+        variables = {"params": state.params}
         if buffers:
             variables["buffers"] = buffers
         predict = jax.jit(self.detector.predict)

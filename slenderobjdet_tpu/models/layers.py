@@ -17,6 +17,7 @@ from typing import Any, Callable, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Dtype = Any
 
@@ -169,6 +170,76 @@ def apply_train(module, variables, *args, **kwargs):
                                 **kwargs)
         return out, mut["buffers"]
     return module.apply(variables, *args, **kwargs), None
+
+
+def _map_bn_nodes(tree, fn):
+    """Return a copy of the buffers pytree with every BatchNorm stats node
+    (a dict holding both "mean" and "var") replaced by fn(node)."""
+    if isinstance(tree, dict):
+        if "mean" in tree and "var" in tree:
+            return fn(tree)
+        return {k: _map_bn_nodes(v, fn) for k, v in tree.items()}
+    return tree
+
+
+def precise_bn_stats(module, variables, image_batches,
+                     momentum: float = 0.1):
+    """Recompute BatchNorm running statistics as the PLAIN average of the
+    per-batch statistics over `image_batches` — the fvcore
+    update_bn_stats / PreciseBN semantics the reference schedules before
+    every eval (reference engine/defaults.py:104-112, TEST.PRECISE_BN).
+    Returns a new buffers tree; a no-op copy if the model has no live BN.
+
+    Mechanism: every BN {mean, var} leaf is zeroed so ONE train-mode apply
+    exposes that batch's statistic exactly (new = (1-m)*0 + m*batch, so
+    batch = new/m), then the recovered per-batch statistics are averaged on
+    the host. `momentum` must match the BatchNorm modules' momentum (0.1
+    everywhere via get_norm)."""
+    buffers = variables.get("buffers", {})
+    if not has_batch_stats(buffers):
+        return buffers
+
+    zeroed = _map_bn_nodes(
+        buffers,
+        lambda node: {**node,
+                      "mean": jnp.zeros_like(node["mean"]),
+                      "var": jnp.zeros_like(node["var"])},
+    )
+    base = {k: v for k, v in variables.items() if k != "buffers"}
+
+    @jax.jit
+    def one_batch(images):
+        _, mut = module.apply({**base, "buffers": zeroed}, images,
+                              mutable=["buffers"])
+        return mut["buffers"]
+
+    total, count = None, 0
+    for images in image_batches:
+        upd = jax.device_get(one_batch(jnp.asarray(images)))
+        if total is None:
+            total = jax.tree_util.tree_map(
+                lambda x: np.asarray(x, np.float64), upd)
+        else:
+            total = jax.tree_util.tree_map(
+                lambda a, x: a + np.asarray(x, np.float64), total, upd)
+        count += 1
+    assert count > 0, "precise_bn_stats needs at least one batch"
+
+    def finish(node, new_node):
+        return {**node,
+                "mean": jnp.asarray(new_node["mean"] / (momentum * count),
+                                    jnp.float32),
+                "var": jnp.asarray(new_node["var"] / (momentum * count),
+                                   jnp.float32)}
+
+    def merge(old, summed):
+        if isinstance(old, dict):
+            if "mean" in old and "var" in old:
+                return finish(old, summed)
+            return {k: merge(v, summed[k]) for k, v in old.items()}
+        return old
+
+    return merge(buffers, total)
 
 
 def get_norm(norm: str, features: int, dtype: Dtype = jnp.float32,

@@ -151,3 +151,109 @@ def test_train_step_writes_back_running_stats():
     after = stats_snapshot(new_state.buffers)
     changed = [not np.allclose(b, a) for b, a in zip(before, after)]
     assert all(changed), "every BN running mean must update after one step"
+
+
+def test_precise_bn_stats_plain_average():
+    """precise_bn_stats must set running stats to the PLAIN average of the
+    per-batch statistics (batch-biased-normalization / unbiased-running
+    split follows torch), regardless of the buffers' starting values —
+    the fvcore update_bn_stats semantics of the reference's PreciseBN hook
+    (reference engine/defaults.py:104-112)."""
+    from slenderobjdet_tpu.models.layers import precise_bn_stats
+
+    r = np.random.RandomState(1)
+    C = 5
+    mod = BatchNorm(features=C)
+    x0 = r.randn(3, 4, 4, C).astype(np.float32)
+    variables = dict(mod.init(jax.random.PRNGKey(0), jnp.asarray(x0)))
+    # poison the starting stats: the result must not depend on them
+    variables["buffers"] = {"mean": jnp.full((C,), 7.0),
+                            "var": jnp.full((C,), 9.0)}
+
+    batches = [r.randn(3, 4, 4, C).astype(np.float32) * (i + 1) + i
+               for i in range(4)]
+    got = precise_bn_stats(mod, variables, batches)
+
+    means = [b.reshape(-1, C).mean(0) for b in batches]
+    uvars = [b.reshape(-1, C).var(0, ddof=1) for b in batches]
+    np.testing.assert_allclose(np.asarray(got["mean"]),
+                               np.mean(means, axis=0), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got["var"]),
+                               np.mean(uvars, axis=0), rtol=2e-5, atol=2e-5)
+
+
+def test_precise_bn_noop_without_batch_stats():
+    from slenderobjdet_tpu.models.layers import FrozenBatchNorm, precise_bn_stats
+
+    mod = FrozenBatchNorm(features=3)
+    x = np.zeros((2, 4, 4, 3), np.float32)
+    variables = dict(mod.init(jax.random.PRNGKey(0), jnp.asarray(x)))
+    got = precise_bn_stats(mod, variables, [x])
+    assert set(got.keys()) == {"scale", "bias"}
+
+
+@pytest.mark.slow
+def test_trainer_runs_precise_bn_before_eval(tmp_path):
+    """TEST.PRECISE_BN.ENABLED recomputes the BN buffers inside
+    BaseTrainer.test (and keeps them on the trainer state)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synthetic import make_coco_json
+
+    from slenderobjdet_tpu.config import get_cfg
+    from slenderobjdet_tpu.data import DatasetCatalog
+    from slenderobjdet_tpu.data.datasets import register_coco_instances
+    from slenderobjdet_tpu.engine.trainer import BaseTrainer
+
+    gt_json, image_root = make_coco_json(tmp_path, num_images=4,
+                                         img_hw=(64, 64))
+    name = "synth_pbn"
+    if name in DatasetCatalog:
+        DatasetCatalog.remove(name)
+    register_coco_instances(name, gt_json, image_root)
+
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "CornerNet"
+    cfg.MODEL.HOURGLASS.STACKS = 1
+    cfg.MODEL.HOURGLASS.DEPTH_BLOCK = 3
+    cfg.MODEL.HOURGLASS.CHANNELS_BLOCK = [32, 32, 48, 48]
+    cfg.MODEL.HOURGLASS.NUM_CONV_BLOCK = [1, 1, 1, 1]
+    cfg.MODEL.HOURGLASS.STEM_OUT_CHANNELS = 16
+    cfg.MODEL.HOURGLASS.OUT_FEATURES = ["hourglass2"]
+    cfg.MODEL.CORNER_NET.IN_FEATURES = ["hourglass2"]
+    cfg.MODEL.CORNER_NET.NUM_CLASSES = 8
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.DATASETS.TRAIN = (name,)
+    cfg.DATASETS.TEST = ()          # eval loop empty; PreciseBN still runs
+    cfg.SOLVER.MAX_ITER = 1
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.INPUT.MIN_SIZE_TRAIN = (64,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 64
+    cfg.TPU.MAX_GT_PER_IMAGE = 8
+    cfg.TEST.PRECISE_BN.ENABLED = True
+    cfg.TEST.PRECISE_BN.NUM_ITER = 2
+    cfg.DATALOADER.NUM_WORKERS = 0
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.freeze()
+
+    trainer = BaseTrainer(cfg)
+    before = jax.device_get(trainer.state.buffers)
+    trainer.test()
+    after = jax.device_get(trainer.state.buffers)
+
+    def bn_leaves(tree, out):
+        if isinstance(tree, dict):
+            if "mean" in tree and "var" in tree:
+                out.append(tree)
+            else:
+                for v in tree.values():
+                    bn_leaves(v, out)
+        return out
+
+    b, a = bn_leaves(before, []), bn_leaves(after, [])
+    assert b and len(b) == len(a)
+    changed = any(not np.allclose(x["mean"], y["mean"]) for x, y in zip(b, a))
+    assert changed, "PreciseBN did not update any BN running stats"
+    for leaf in a:
+        assert np.isfinite(leaf["mean"]).all()
+        assert np.isfinite(leaf["var"]).all() and (leaf["var"] >= 0).all()
