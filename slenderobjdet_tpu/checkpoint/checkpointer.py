@@ -32,25 +32,73 @@ class DetectionCheckpointer:
         self.save_dir = os.path.abspath(save_dir)
         os.makedirs(self.save_dir, exist_ok=True)
         self._ckpt = ocp.StandardCheckpointer() if _HAS_ORBAX else None
+        self._pending = None
 
     # ----------------------------------------------------------- save/load
-    def save(self, name: str, state: Any):
-        path = os.path.join(self.save_dir, name)
-        state = jax.device_get(state)
-        if self._ckpt is not None:
-            self._ckpt.save(path, state, force=True)
-            # orbax save is async; wait so the pointer file is never stale
-            self._ckpt.wait_until_finished()
+    def save(self, name: str, state: Any, blocking: bool = True):
+        """Persist `state` under `name`. With blocking=False the host fetch
+        and write run in a background thread so the train loop keeps
+        dispatching device steps (periodic-save mode); at most one save is
+        in flight — a new one first joins the previous. The
+        `last_checkpoint` pointer is written only AFTER the data is on disk,
+        so a crash mid-save can never leave a stale pointer."""
+        import threading
+
+        self.wait()
+
+        if not blocking:
+            # The train step DONATES its input state: by the time a
+            # background thread fetches it, the next step may have reused
+            # its buffers ("Array has been deleted"). Snapshot with an
+            # on-device copy — a cheap async enqueue ordered BEFORE the
+            # next step — and fetch the copy from the thread.
+            import jax.numpy as jnp
+
+            state = jax.tree_util.tree_map(
+                lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x,
+                state)
+
+        def do_save():
+            path = os.path.join(self.save_dir, name)
+            host_state = jax.device_get(state)
+            if self._ckpt is not None:
+                self._ckpt.save(path, host_state, force=True)
+                self._ckpt.wait_until_finished()
+            else:
+                with open(path + ".pkl", "wb") as f:
+                    pickle.dump(host_state, f)
+            with open(os.path.join(self.save_dir, "last_checkpoint"),
+                      "w") as f:
+                f.write(name)
+
+        if blocking:
+            do_save()
         else:
-            with open(path + ".pkl", "wb") as f:
-                pickle.dump(state, f)
-        with open(os.path.join(self.save_dir, "last_checkpoint"), "w") as f:
-            f.write(name)
+            def guarded():
+                try:
+                    do_save()
+                except BaseException as e:  # surfaced by wait()
+                    self._error = e
+
+            self._error = None
+            self._pending = threading.Thread(target=guarded, daemon=True)
+            self._pending.start()
+
+    def wait(self):
+        """Join any in-flight non-blocking save; re-raise its failure."""
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
+            err, self._error = getattr(self, "_error", None), None
+            if err is not None:
+                raise RuntimeError("async checkpoint save failed") from err
 
     def has_checkpoint(self) -> bool:
+        self.wait()
         return os.path.exists(os.path.join(self.save_dir, "last_checkpoint"))
 
     def get_checkpoint_file(self) -> Optional[str]:
+        self.wait()
         p = os.path.join(self.save_dir, "last_checkpoint")
         if not os.path.exists(p):
             return None

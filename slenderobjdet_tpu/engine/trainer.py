@@ -161,7 +161,10 @@ class BaseTrainer:
             self.storage.step()
 
             if (i + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or (i + 1) == self.max_iter:
-                self.checkpointer.save(f"model_{i + 1:07d}", self.state)
+                # non-blocking: the host fetch + write overlap the next
+                # device steps; has_checkpoint/load join the in-flight save
+                self.checkpointer.save(f"model_{i + 1:07d}", self.state,
+                                       blocking=(i + 1) == self.max_iter)
             if cfg.TEST.EVAL_PERIOD > 0 and (i + 1) % cfg.TEST.EVAL_PERIOD == 0:
                 self.test()
             data_t0 = time.perf_counter()

@@ -208,3 +208,68 @@ def test_bias_lr_factor_scales_bias_updates(tiny_cfg, tiny_fcos):
             assert jnp.allclose(leaf2, leaf1, rtol=1e-6), path1
             checked_kernel = True
     assert checked_bias and checked_kernel
+
+
+def test_async_save_roundtrip(tmp_path):
+    """blocking=False saves in a background thread; has_checkpoint/load
+    join the in-flight save and restore the exact state."""
+    import jax.numpy as jnp
+
+    from slenderobjdet_tpu.checkpoint.checkpointer import DetectionCheckpointer
+
+    ck = DetectionCheckpointer(str(tmp_path / "ck"))
+    state = {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+             "step": jnp.asarray(7, jnp.int32)}
+    ck.save("model_async", state, blocking=False)
+    assert ck.has_checkpoint()          # joins the background save
+    got = ck.load(ck.get_checkpoint_file(), state)
+    np.testing.assert_array_equal(np.asarray(got["w"]),
+                                  np.asarray(state["w"]))
+    assert int(np.asarray(got["step"])) == 7
+
+
+def test_async_periodic_save_survives_donation(tmp_path):
+    """Regression: the train step donates its input state, so a background
+    save that fetches it lazily can hit deleted buffers once the next step
+    runs. The checkpointer snapshots with an on-device copy; the PERIODIC
+    (non-blocking) checkpoint must be loadable and carry the right step."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    import jax
+    from conftest import make_tiny_cfg
+    from synthetic import make_coco_json
+
+    from slenderobjdet_tpu.data import DatasetCatalog
+    from slenderobjdet_tpu.data.datasets import register_coco_instances
+    from slenderobjdet_tpu.engine.trainer import BaseTrainer
+
+    gt_json, image_root = make_coco_json(tmp_path, num_images=4,
+                                         img_hw=(64, 64))
+    name = "synth_async_ck"
+    if name in DatasetCatalog:
+        DatasetCatalog.remove(name)
+    register_coco_instances(name, gt_json, image_root)
+
+    cfg = make_tiny_cfg()
+    cfg.DATASETS.TRAIN = (name,)
+    cfg.DATASETS.TEST = ()
+    cfg.SOLVER.MAX_ITER = 4
+    cfg.SOLVER.CHECKPOINT_PERIOD = 2     # periodic save -> async path
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.INPUT.MIN_SIZE_TRAIN = (64,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 64
+    cfg.TPU.MAX_GT_PER_IMAGE = 8
+    cfg.DATALOADER.NUM_WORKERS = 0
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.freeze()
+
+    trainer = BaseTrainer(cfg)
+    state = trainer.train()
+    trainer.checkpointer.wait()          # re-raises async failures
+
+    mid = trainer.checkpointer.load(
+        os.path.join(cfg.OUTPUT_DIR, "model_0000002"), trainer.state)
+    assert int(np.asarray(mid.step)) == 2
+    final = trainer.checkpointer.load(
+        trainer.checkpointer.get_checkpoint_file(), trainer.state)
+    assert int(np.asarray(final.step)) == 4
