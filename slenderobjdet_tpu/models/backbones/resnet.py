@@ -168,11 +168,21 @@ class ResNet(nn.Module):
     deform_on_per_stage: Sequence[bool] = (False, False, False, False)
     deform_modulated: bool = False
     fused_blocks: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
         block_type, stage_blocks = RESNET_SPECS[self.depth]
+        # TPU.REMAT_BACKBONE: rematerialize each residual block in the
+        # backward pass instead of storing its activations — trades ~33%
+        # extra conv FLOPs in res2-5 for the dominant share of training
+        # activation memory (bigger batches / resolutions per chip).
+        # Gradients agree to recompute-fusion rounding
+        # (tests/test_backbones.py).
+        bottleneck_cls = (nn.remat(BottleneckBlock) if self.remat
+                          else BottleneckBlock)
+        basic_cls = nn.remat(BasicBlock) if self.remat else BasicBlock
 
         # ---- stem: 7x7/2 + 3x3 maxpool/2
         out = nn.Conv(self.stem_out_channels, (7, 7), (2, 2), padding=3,
@@ -195,7 +205,7 @@ class ResNet(nn.Module):
             for block_idx in range(num_blocks):
                 stride = first_stride if block_idx == 0 else 1
                 if block_type == "bottleneck":
-                    out = BottleneckBlock(
+                    out = bottleneck_cls(
                         features=out_channels,
                         bottleneck=bottleneck_channels,
                         stride=stride,
@@ -210,7 +220,7 @@ class ResNet(nn.Module):
                         name=f"{name}_{block_idx}",
                     )(out)
                 else:
-                    out = BasicBlock(
+                    out = basic_cls(
                         features=out_channels,
                         stride=stride,
                         norm=self.norm,
@@ -248,6 +258,7 @@ def resnet_from_cfg(cfg, dtype=jnp.float32) -> ResNet:
         deform_on_per_stage=tuple(r.DEFORM_ON_PER_STAGE),
         deform_modulated=r.DEFORM_MODULATED,
         fused_blocks=getattr(r, "FUSED_BLOCKS", False),
+        remat=cfg.TPU.REMAT_BACKBONE,
         dtype=dtype,
     )
 

@@ -77,3 +77,41 @@ def test_fpn_gn_norm_applied():
     feats = spec.module.apply(variables, x)
     assert np.isfinite(np.asarray(feats["p3"])).all()
 
+
+
+def test_remat_backbone_identical_loss_and_grads():
+    """TPU.REMAT_BACKBONE recomputes block activations in the backward pass;
+    loss must be identical and gradients equal up to recompute-fusion
+    rounding (XLA fuses the recomputed forward differently, so the last
+    float digits can differ)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    import jax
+    import numpy as np
+    from conftest import make_tiny_cfg
+    from test_model_fcos import make_batch
+
+    from slenderobjdet_tpu.models import build_model
+
+    def run(remat):
+        cfg = make_tiny_cfg()
+        cfg.TPU.REMAT_BACKBONE = remat
+        cfg.freeze()
+        det = build_model(cfg)
+        variables = det.init_variables(jax.random.PRNGKey(0))
+        batch = make_batch()
+
+        def loss_fn(params):
+            total, _ = det.loss({**variables, "params": params}, batch)
+            return total
+
+        total, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        return float(total), jax.device_get(grads)
+
+    t0, g0 = run(False)
+    t1, g1 = run(True)
+    assert t0 == t1
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
