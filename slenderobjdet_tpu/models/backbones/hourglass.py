@@ -10,6 +10,7 @@ Configured by MODEL.HOURGLASS.* (config.py:49-62).
 
 from __future__ import annotations
 
+from itertools import count
 from typing import Any, Dict, Sequence
 
 import flax.linen as nn
@@ -64,6 +65,7 @@ class HourglassBlock(nn.Module):
     channels: Sequence[int]
     num_convs: Sequence[int]
     norm: str = "BN"
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -71,25 +73,38 @@ class HourglassBlock(nn.Module):
         c_cur, c_next = self.channels[0], self.channels[1]
         n_cur, n_next = self.num_convs[0], self.num_convs[1]
 
+        # TPU.REMAT_BACKBONE: rematerialize each Residual in the backward
+        # pass (same trade as ResNet's per-block remat). nn.remat renames
+        # auto-named submodules (Residual_0 -> CheckpointResidual_0), so
+        # every Residual gets its auto name EXPLICITLY, in instantiation
+        # order — the variable tree is identical with remat on or off and
+        # checkpoints stay interchangeable (tests/test_backbones.py).
+        res_cls = nn.remat(Residual) if self.remat else Residual
+        ridx = count()
+
+        def res(feats, inp, stride=1):
+            return res_cls(feats, stride=stride, norm=self.norm,
+                           dtype=self.dtype,
+                           name=f"Residual_{next(ridx)}")(inp)
+
         up1 = x
         for i in range(n_cur):
-            up1 = Residual(c_cur, norm=self.norm, dtype=self.dtype)(up1)
+            up1 = res(c_cur, up1)
 
         low = nn.max_pool(x, (2, 2), strides=(2, 2))
         for i in range(n_cur):
-            low = Residual(c_next, norm=self.norm, dtype=self.dtype)(low)
+            low = res(c_next, low)
 
         if self.depth > 1:
             low = HourglassBlock(self.depth - 1, self.channels[1:],
                                  self.num_convs[1:], self.norm,
-                                 dtype=self.dtype)(low)
+                                 remat=self.remat, dtype=self.dtype)(low)
         else:
             for i in range(n_next):
-                low = Residual(c_next, norm=self.norm, dtype=self.dtype)(low)
+                low = res(c_next, low)
 
         for i in range(n_cur):
-            low = Residual(c_cur if i == n_cur - 1 else c_next,
-                           norm=self.norm, dtype=self.dtype)(low)
+            low = res(c_cur if i == n_cur - 1 else c_next, low)
         up2 = upsample2x_nearest(low)
         return up1 + up2
 
@@ -101,21 +116,25 @@ class Hourglass(nn.Module):
     num_conv_block: Sequence[int] = (2, 2, 2, 2, 2, 4)
     stem_out_channels: int = 128
     norm: str = "BN"
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
         c0 = self.channels_block[0]
+        res_cls = nn.remat(Residual) if self.remat else Residual
         # stem: stride 4
         x = ConvBNRelu(self.stem_out_channels, 7, 2, self.norm,
                        dtype=self.dtype)(x)
-        x = Residual(c0, stride=2, norm=self.norm, dtype=self.dtype)(x)
+        x = res_cls(c0, stride=2, norm=self.norm, dtype=self.dtype,
+                    name="Residual_0")(x)
 
         outputs: Dict[str, jnp.ndarray] = {}
         inter = x
         for s in range(self.stacks):
             hg = HourglassBlock(self.depth_block, self.channels_block,
                                 self.num_conv_block, self.norm,
+                                remat=self.remat,
                                 dtype=self.dtype, name=f"hg{s}")(inter)
             feat = ConvBNRelu(c0, 3, 1, self.norm, dtype=self.dtype,
                               name=f"out_conv{s}")(hg)
@@ -126,8 +145,8 @@ class Hourglass(nn.Module):
                                dtype=self.dtype, name=f"inter_a{s}")(inter)
                 b = ConvBNRelu(c0, 1, 1, self.norm, relu=False,
                                dtype=self.dtype, name=f"inter_b{s}")(feat)
-                inter = Residual(c0, norm=self.norm, dtype=self.dtype,
-                                 name=f"inter_res{s}")(nn.relu(a + b))
+                inter = res_cls(c0, norm=self.norm, dtype=self.dtype,
+                                name=f"inter_res{s}")(nn.relu(a + b))
         return outputs
 
 
@@ -140,6 +159,7 @@ def build_hourglass_backbone(cfg, dtype=jnp.float32) -> BackboneSpec:
         num_conv_block=tuple(h.NUM_CONV_BLOCK),
         stem_out_channels=h.STEM_OUT_CHANNELS,
         norm=h.NORM,
+        remat=cfg.TPU.REMAT_BACKBONE,
         dtype=dtype,
     )
     out = tuple(h.OUT_FEATURES)

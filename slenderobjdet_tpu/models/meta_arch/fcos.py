@@ -57,6 +57,7 @@ class FCOSHead(nn.Module):
     use_dcn_v2: bool = True
     strides: Sequence[int] = (8, 16, 32, 64, 128)
     with_ctr: bool = True                # False: FCOSNCRetinaNet-style head
+    pack_levels: bool = False            # TPU.PACK_HEAD_LEVELS (ops/level_pack)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -100,22 +101,68 @@ class FCOSHead(nn.Module):
         )
         scales = [Scale(name=f"scale{i}") for i in range(len(feats))]
 
-        logits_all, reg_all, ctr_all = [], [], []
-        for lvl, feat in enumerate(feats):
-            b, h, w, _ = feat.shape
-            ct = feat
-            for conv, gn in cls_tower:
-                ct = nn.relu(gn(conv(ct)))
-            bt = feat
-            for conv, gn in bbox_tower:
-                bt = nn.relu(gn(conv(bt)))
+        # TPU.PACK_HEAD_LEVELS: mosaic-pack the small pyramid levels into
+        # one canvas so each shared conv runs ONCE over them instead of
+        # once per tiny level (ops/level_pack.py). The dominant first level
+        # stays standalone (packing it would add its area's share of the
+        # canvas slack). Per-level GroupNorm statistics are preserved by
+        # applying gn per region (map_regions), which also re-zeroes the
+        # 1-px gaps so region outputs equal the per-level path
+        # (tests/test_level_pack.py). Deformable towers can't pack:
+        # predicted offsets may reach across the gap into a neighbor level.
+        packable = (self.pack_levels and len(feats) > 2
+                    and not self.use_dcn_in_tower)
 
+        def tower_apply(x, tower, region_map):
+            for conv, gn in tower:
+                x = conv(x)
+                if region_map is None:
+                    x = nn.relu(gn(x))
+                else:
+                    x = region_map(x, lambda i, r, gn=gn: nn.relu(gn(r)))
+            return x
+
+        if packable:
+            from ...ops.level_pack import (map_regions, pack_levels,
+                                           plan_level_packing, unpack_levels)
+            tail = feats[1:]
+            shapes = [f.shape[1:3] for f in tail]
+            plan = plan_level_packing(shapes)
+            canvas = pack_levels(tail, plan)
+            units = [
+                (feats[0], None, [0]),
+                (canvas, lambda x, f: map_regions(x, shapes, plan, f),
+                 list(range(1, len(feats)))),
+            ]
+        else:
+            units = [(f, None, [lvl]) for lvl, f in enumerate(feats)]
+
+        lvl_out: List[Any] = [None] * len(feats)
+        for x, region_map, lvls in units:
+            ct = tower_apply(x, cls_tower, region_map)
+            bt = tower_apply(x, bbox_tower, region_map)
             logits = cls_logits(ct).astype(jnp.float32)
+            reg_raw = bbox_pred(bt).astype(jnp.float32)
+            ctr_out = None
             if self.with_ctr:
                 ctr_src = bt if self.centerness_on_reg else ct
-                ctr = centerness(ctr_src).astype(jnp.float32)
+                ctr_out = centerness(ctr_src).astype(jnp.float32)
+            if region_map is None:
+                parts = [(logits, reg_raw, ctr_out)]
+            else:
+                parts = list(zip(
+                    unpack_levels(logits, shapes, plan),
+                    unpack_levels(reg_raw, shapes, plan),
+                    (unpack_levels(ctr_out, shapes, plan)
+                     if ctr_out is not None else [None] * len(shapes)),
+                ))
+            for lvl, part in zip(lvls, parts):
+                lvl_out[lvl] = part
 
-            reg = scales[lvl](bbox_pred(bt).astype(jnp.float32))
+        logits_all, reg_all, ctr_all = [], [], []
+        for lvl, (logits, reg_raw, ctr) in enumerate(lvl_out):
+            b, h, w, _ = logits.shape
+            reg = scales[lvl](reg_raw)
             if self.norm_reg_targets:
                 reg = nn.relu(reg)
                 if not train:
@@ -219,6 +266,7 @@ class FCOS:
             use_dcn_in_tower=f.USE_DCN_IN_TOWER,
             use_dcn_v2=f.USE_DCN_V2,
             strides=tuple(f.FPN_STRIDES),
+            pack_levels=cfg.TPU.PACK_HEAD_LEVELS,
             dtype=dtype,
         )
         self.module = FCOSModule(

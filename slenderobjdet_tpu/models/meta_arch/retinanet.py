@@ -38,6 +38,7 @@ class RetinaNetHead(nn.Module):
     num_convs: int = 4
     prior_prob: float = 0.01
     use_dcn: bool = False     # DeformableConvRetinaNet (reference retinadc.py)
+    pack_levels: bool = False  # TPU.PACK_HEAD_LEVELS (ops/level_pack)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -68,22 +69,52 @@ class RetinaNetHead(nn.Module):
                             dtype=self.dtype, param_dtype=jnp.float32,
                             kernel_init=init, name="bbox_pred")
 
-        logits, regs = [], []
-        for feat in feats:
-            b, h, w, _ = feat.shape
-            ct, bt = feat, feat
+        # TPU.PACK_HEAD_LEVELS (ops/level_pack.py): run the shared subnets
+        # ONCE over a mosaic canvas of the small levels. No per-level norm
+        # here, so re-zeroing the 1-px gaps is a static 0/1 mask multiply
+        # after each relu (gap garbage would otherwise bleed into the next
+        # 3x3 conv); region outputs equal the per-level path
+        # (tests/test_level_pack.py). Deformable subnets can't pack.
+        packable = self.pack_levels and len(feats) > 2 and not self.use_dcn
+        if packable:
+            from ...ops.level_pack import (pack_levels, plan_level_packing,
+                                           unpack_levels)
+            tail = feats[1:]
+            shapes = [f.shape[1:3] for f in tail]
+            plan = plan_level_packing(shapes)
+            canvas = pack_levels(tail, plan)
+            mask = pack_levels(
+                [jnp.ones((1, h, w, 1), self.dtype) for h, w in shapes], plan)
+            units = [(feats[0], None, [0]),
+                     (canvas, mask, list(range(1, len(feats))))]
+        else:
+            units = [(f, None, [lvl]) for lvl, f in enumerate(feats)]
+
+        lvl_out: List[Any] = [None] * len(feats)
+        for x, mask, lvls in units:
+            ct, bt = x, x
             for conv in cls_subnet:
                 ct = nn.relu(conv(ct))
+                ct = ct if mask is None else ct * mask
             for conv in bbox_subnet:
                 bt = nn.relu(conv(bt))
-            logits.append(
-                cls_score(ct).astype(jnp.float32)
-                .reshape(b, h * w * self.num_anchors, self.num_classes)
-            )
-            regs.append(
-                bbox_pred(bt).astype(jnp.float32)
-                .reshape(b, h * w * self.num_anchors, 4)
-            )
+                bt = bt if mask is None else bt * mask
+            lg = cls_score(ct).astype(jnp.float32)
+            rg = bbox_pred(bt).astype(jnp.float32)
+            if mask is None:
+                parts = [(lg, rg)]
+            else:
+                parts = list(zip(unpack_levels(lg, shapes, plan),
+                                 unpack_levels(rg, shapes, plan)))
+            for lvl, part in zip(lvls, parts):
+                lvl_out[lvl] = part
+
+        logits, regs = [], []
+        for lg, rg in lvl_out:
+            b, h, w, _ = lg.shape
+            logits.append(lg.reshape(
+                b, h * w * self.num_anchors, self.num_classes))
+            regs.append(rg.reshape(b, h * w * self.num_anchors, 4))
         return logits, regs
 
 
@@ -166,6 +197,7 @@ class RetinaNet:
             num_convs=r.NUM_CONVS,
             prior_prob=r.PRIOR_PROB,
             use_dcn=use_dcn,
+            pack_levels=cfg.TPU.PACK_HEAD_LEVELS,
             dtype=dtype,
         )
         self.module = RetinaNetModule(

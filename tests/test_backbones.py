@@ -115,3 +115,53 @@ def test_remat_backbone_identical_loss_and_grads():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_remat_hourglass_tree_and_grads():
+    """Hourglass remat must (1) keep the variable tree IDENTICAL to the
+    unrematted module (nn.remat renames auto-named children, so every
+    Residual carries its auto name explicitly — checkpoints stay
+    interchangeable), (2) reproduce loss/grads, and (3) update BN running
+    stats identically (hourglass trains real BN)."""
+    from slenderobjdet_tpu.models.backbones.hourglass import Hourglass
+
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 32, 32, 3), jnp.float32)
+
+    def run(remat):
+        m = Hourglass(stacks=2, depth_block=2, channels_block=(16, 24, 32),
+                      num_conv_block=(1, 1, 2), stem_out_channels=8,
+                      norm="BN", remat=remat, dtype=jnp.float32)
+        variables = m.init(jax.random.PRNGKey(0), x)
+
+        def loss_fn(params):
+            out, mut = m.apply({**variables, "params": params}, x,
+                               mutable=["buffers"])
+            return sum(jnp.sum(jnp.square(v)) for v in out.values()), mut
+
+        (total, mut), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables["params"])
+        return variables, float(total), jax.device_get(grads), \
+            jax.device_get(mut["buffers"])
+
+    v0, t0, g0, b0 = run(False)
+    v1, t1, g1, b1 = run(True)
+    # identical variable trees (names + shapes), so checkpoints interchange
+    p0 = {"/".join(p): l.shape for p, l in
+          jax.tree_util.tree_flatten_with_path(v0)[0] for p in [tuple(
+              str(k) for k in p)]}
+    p1 = {"/".join(p): l.shape for p, l in
+          jax.tree_util.tree_flatten_with_path(v1)[0] for p in [tuple(
+              str(k) for k in p)]}
+    assert p0 == p1
+    assert t0 == t1
+    # BN's mean/var cancellations amplify recompute-fusion rounding a bit
+    # beyond the ResNet case (observed: rel 2.4e-4 on O(100) grads, abs
+    # 5e-5 on near-zero ones)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(b0),
+                    jax.tree_util.tree_leaves(b1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
