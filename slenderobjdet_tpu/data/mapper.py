@@ -12,6 +12,8 @@ compilation").
 
 from __future__ import annotations
 
+import io
+import os
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -56,6 +58,27 @@ class DatasetMapper:
         # bm_mapper.py:36 + pnwm.py:11) — rendered inline here instead of
         # fetched from nori/redis.
         self.need_masks = cfg.NEED_MASKS
+        # Packed-record / object-storage image sources. USE_NORI+NORI_PATH is
+        # the reference's switch for fetching images (and precomputed size
+        # maps) from its nori+redis store (`bm_mapper.py:45-57`); here the
+        # same keys point at a directory of self-indexing RecordPacks
+        # (`recordpack.py`) named `<split>.pack` / `<split>_sizes.pack`.
+        # DATALOADER.OSS_ROOT mirrors OssMapper (`oss_mapper.py:33-50`):
+        # images read from root/file_name via smart_path (local or s3).
+        self.image_pack = None
+        self.sizes_pack = None
+        self.oss_root = cfg.DATALOADER.OSS_ROOT
+        if cfg.USE_NORI and cfg.NORI_PATH:
+            from ..utils.smart_path import smart_path
+            from .recordpack import PackReader
+
+            splits = cfg.DATASETS.TRAIN if is_train else cfg.DATASETS.TEST
+            if splits:
+                root = smart_path(cfg.NORI_PATH)
+                self.image_pack = PackReader(str(root / (splits[0] + ".pack")))
+                sizes_path = root / (splits[0] + "_sizes.pack")
+                if sizes_path.exists():
+                    self.sizes_pack = PackReader(str(sizes_path))
         self.mask_keys = ("center",)
         if self.need_masks and cfg.MODEL.META_ARCHITECTURE in (
                 "ProposalNetworkWithMasks",):
@@ -68,10 +91,43 @@ class DatasetMapper:
         self.pad_landscape = (short_pad, long)   # (H, W) for w >= h images
         self.pad_portrait = (long, short_pad)
 
+    def _load_image(self, dataset_dict: Dict) -> np.ndarray:
+        if "image" in dataset_dict:
+            return read_image(dataset_dict, self.fmt)
+        name = os.path.basename(dataset_dict.get("file_name", ""))
+        if self.image_pack is not None and name in self.image_pack:
+            buf = np.frombuffer(self.image_pack.get(name), np.uint8)
+            img = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+        elif self.oss_root:
+            from ..utils.smart_path import smart_path
+
+            raw = (smart_path(self.oss_root)
+                   / dataset_dict["file_name"]).read_bytes()
+            img = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)
+        else:
+            return read_image(dataset_dict, self.fmt)
+        if img is None:
+            raise ValueError(f"undecodable image record: {name!r}")
+        if self.fmt == "RGB":
+            img = img[:, :, ::-1]
+        return np.ascontiguousarray(img)
+
+    def _fetch_precomputed_maps(self, dataset_dict: Dict) -> Optional[Dict]:
+        """center/border/sizes maps at original resolution, from the
+        `<split>_sizes.pack` written by tools/coco_to_pack.py --sizes (the
+        reference fetched these from `<split>_sizes.nori`)."""
+        if self.sizes_pack is None:
+            return None
+        name = os.path.basename(dataset_dict.get("file_name", ""))
+        if name not in self.sizes_pack:
+            return None
+        with np.load(io.BytesIO(self.sizes_pack.get(name))) as z:
+            return {k: z[k] for k in z.files}
+
     def __call__(self, dataset_dict: Dict, rng: Optional[np.random.Generator] = None
                  ) -> Dict[str, np.ndarray]:
         rng = rng or np.random.default_rng(0)
-        image = read_image(dataset_dict, self.fmt)
+        image = self._load_image(dataset_dict)
         orig_h, orig_w = image.shape[:2]
 
         annos = [
@@ -96,7 +152,8 @@ class DatasetMapper:
         if polygons is not None:
             polygons = [[p * scale for p in inst] for inst in polygons]
 
-        if self.is_train and rng.random() < 0.5:
+        flipped = self.is_train and rng.random() < 0.5
+        if flipped:
             image, boxes = T.horizontal_flip(image, boxes)
             if rboxes is not None:
                 rboxes[:, 0] = image.shape[1] - rboxes[:, 0]
@@ -135,20 +192,48 @@ class DatasetMapper:
 
         extra = {}
         if polygons is not None:
-            from ..structures.borders import BorderMasks
+            pre = self._fetch_precomputed_maps(dataset_dict)
+            if pre is not None:
+                # transform the original-resolution maps like the image:
+                # resize (values of `sizes` scale with the image), flip, pad
+                # — the reference applied its transform list to the fetched
+                # maps the same way (`bm_mapper.py:99-147`).
+                def _tx(m, scale_values=False):
+                    m = cv2.resize(m.astype(np.float32), (rw, rh),
+                                   interpolation=cv2.INTER_LINEAR)
+                    if scale_values:
+                        m = m * np.float32(scale)
+                    if flipped:
+                        m = np.ascontiguousarray(m[:, ::-1])
+                    return m
 
-            kept_polys = [p for p, k in zip(polygons, keep) if k and p]
-            masks = BorderMasks(kept_polys)
-            cm = masks.center_masks((rh, rw), standard="gaussian", sigma=0.5)
-            extra["center_mask"] = T.pad_to(cm, image.shape[:2])
-            if "sizes" in self.mask_keys:
-                border, _, size = masks.masks((rh, rw))
-                extra["border_mask"] = T.pad_to(border, image.shape[:2])
-                extra["size_map"] = np.stack(
-                    [T.pad_to(size[..., 0], image.shape[:2]),
-                     T.pad_to(size[..., 1], image.shape[:2])],
-                    axis=-1,
-                )
+                extra["center_mask"] = T.pad_to(_tx(pre["center"]),
+                                                image.shape[:2])
+                if "sizes" in self.mask_keys:
+                    border = _tx(pre["border"])
+                    size = _tx(pre["sizes"], scale_values=True)
+                    extra["border_mask"] = T.pad_to(border, image.shape[:2])
+                    extra["size_map"] = np.stack(
+                        [T.pad_to(size[..., 0], image.shape[:2]),
+                         T.pad_to(size[..., 1], image.shape[:2])],
+                        axis=-1,
+                    )
+            else:
+                from ..structures.borders import BorderMasks
+
+                kept_polys = [p for p, k in zip(polygons, keep) if k and p]
+                masks = BorderMasks(kept_polys)
+                cm = masks.center_masks((rh, rw), standard="gaussian",
+                                        sigma=0.5)
+                extra["center_mask"] = T.pad_to(cm, image.shape[:2])
+                if "sizes" in self.mask_keys:
+                    border, _, size = masks.masks((rh, rw))
+                    extra["border_mask"] = T.pad_to(border, image.shape[:2])
+                    extra["size_map"] = np.stack(
+                        [T.pad_to(size[..., 0], image.shape[:2]),
+                         T.pad_to(size[..., 1], image.shape[:2])],
+                        axis=-1,
+                    )
 
         if rboxes is not None:
             gt_rboxes = np.zeros((self.max_gt, 5), np.float32)
