@@ -410,3 +410,33 @@ def test_coco_rehearsal_dry_run(tmp_path, config_file):
                    timeout=560)
     assert "dry-run complete" in out
     assert os.path.exists(os.path.join(out_dir, "metrics.json"))
+
+
+def test_run_experiments_dry_run():
+    """tools/run_experiments.py (reference tools/script.py): the family
+    sweep derives the reference's dated output dirs and resumable
+    train_net.py commands; --dry-run prints without running."""
+    out = run_tool(["tools/run_experiments.py", "--model", "fcos",
+                    "--dry-run", "--opts", "SOLVER.MAX_ITER", "20"])
+    lines = [l for l in out.strip().splitlines() if "train_net.py" in l]
+    assert len(lines) == 3  # depths 50/101/152
+    for depth, line in zip((50, 101, 152), lines):
+        assert f"configs/group_exp_for_backbone/fcos/r-{depth}.yaml" in line
+        assert "--resume" in line and "OUTPUT_DIR" in line
+        assert f"_fcos_R_{depth}_FPN_1x" in line
+        assert line.rstrip().endswith("SOLVER.MAX_ITER 20")
+    # explicit config list mode
+    out = run_tool(["tools/run_experiments.py", "--model", "custom",
+                    "--configs", "configs/fcos/fcos_R_50_FPN_1x.yaml",
+                    "--dry-run"])
+    assert "fcos_R_50_FPN_1x" in out
+
+
+def test_coco_to_pack_tool(artifacts, tmp_path):
+    """CLI counterpart test (library-level coverage in test_recordpack.py)."""
+    out_pack = str(tmp_path / "cli.pack")
+    run_tool(["tools/coco_to_pack.py", "--gt-json", artifacts["gt"],
+              "--image-root", artifacts["root"], "--out", out_pack,
+              "--max-images", "2"])
+    from slenderobjdet_tpu.data.recordpack import PackReader
+    assert len(PackReader(out_pack)) == 2
