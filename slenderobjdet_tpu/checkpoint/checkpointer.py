@@ -134,6 +134,25 @@ def load_model_weights(path: str, params, buffers):
             data = pickle.load(f, encoding="latin1")
         state_dict = data.get("model", data)
         return import_d2_weights(state_dict, params, buffers)
+    if path.endswith((".pth", ".pt")):
+        # torch checkpoint: PVT/PVTv2 classification zoo layout (the
+        # reference's load_checkpoint_from_http target)
+        import torch
+
+        data = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(data, dict):
+            data = data.get("model", data.get("state_dict", data))
+        state_dict = {
+            k: np.asarray(v.detach().cpu().numpy()
+                          if hasattr(v, "detach") else v)
+            for k, v in data.items()
+        }
+        if any(k.split("module.", 1)[-1].startswith("patch_embed1")
+               for k in state_dict):
+            return import_pvt_weights(state_dict, params), buffers
+        raise ValueError(
+            f"{path!r}: torch checkpoint does not look like a PVT zoo file "
+            "(no patch_embed1 keys); only PVT .pth import is supported")
     raise ValueError(f"Unsupported weights file {path!r}")
 
 
@@ -259,6 +278,125 @@ def import_d2_weights(state_dict: Dict[str, np.ndarray], params, buffers):
     if loaded == 0:
         raise ValueError("no weights matched the d2 name mapping")
     return _unflatten(flat_params, params), _unflatten(flat_buffers, buffers)
+
+
+def import_pvt_weights(state_dict: Dict[str, np.ndarray], params):
+    """Import a PVT / PVTv2 classification checkpoint (torch .pth layout,
+    pvt_tiny/small/... zoo files — the reference loads these over HTTP into
+    its detection backbone, `slender_det/modeling/backbone/pvt.py:273-275` +
+    `checkpoint/checkpoint.py:23-47`) into the Flax PVT parameter tree.
+
+    Classification-only leaves (cls_token, head.*, the v1 final `norm`) are
+    skipped, like the reference's strict=False load. Our per-stage output
+    LayerNorms (stage_norm{i}) import from the v2 checkpoints' top-level
+    `norm{i}`; v1 checkpoints have no per-stage norm, so those keep init.
+    pos_embed{i} drops the stage-4 cls token and is bilinearly resampled
+    from the checkpoint's 224-based grid to the canonical parameter grid
+    (the module resizes to the runtime grid in-graph, pvt.py)."""
+    params = jax.device_get(params)
+    flat = _flatten(params)
+
+    anchor = [k for k in flat if k.endswith("patch_embed1/kernel")]
+    if not anchor:
+        raise ValueError("no PVT subtree (patch_embed1) in the param tree")
+    prefix = anchor[0][: -len("patch_embed1/kernel")]
+
+    loaded = 0
+
+    def put(rel_path: str, value: np.ndarray):
+        nonlocal loaded
+        key = prefix + rel_path
+        if key not in flat:
+            return
+        dst = flat[key]
+        if dst.shape != value.shape:
+            raise ValueError(
+                f"shape mismatch {key}: {dst.shape} vs {value.shape}")
+        flat[key] = value.astype(dst.dtype)
+        loaded += 1
+
+    ln_sub = {"weight": "scale", "bias": "bias"}
+    for name, value in state_dict.items():
+        value = np.asarray(value)
+        name = name.split("module.", 1)[-1]
+
+        m = re.match(r"patch_embed(\d)\.proj\.(weight|bias)$", name)
+        if m:
+            if m.group(2) == "weight":
+                put(f"patch_embed{m.group(1)}/kernel",
+                    value.transpose(2, 3, 1, 0))
+            else:
+                put(f"patch_embed{m.group(1)}/bias", value)
+            continue
+        m = re.match(r"patch_embed(\d)\.norm\.(weight|bias)$", name)
+        if m:
+            put(f"embed_norm{m.group(1)}/{ln_sub[m.group(2)]}", value)
+            continue
+        m = re.match(r"pos_embed(\d)$", name)
+        if m:
+            dst_key = prefix + f"pos_embed{m.group(1)}"
+            if dst_key not in flat:
+                continue
+            n = value.shape[1]
+            side = int(round(n ** 0.5))
+            if side * side != n and int(round((n - 1) ** 0.5)) ** 2 == n - 1:
+                value = value[:, 1:]  # stage-4 cls token
+                side = int(round((n - 1) ** 0.5))
+            grid = value.reshape(1, side, side, value.shape[-1])
+            dst = flat[dst_key]
+            resized = np.asarray(
+                jax.image.resize(jnp.asarray(grid), dst.shape, "bilinear"))
+            put(f"pos_embed{m.group(1)}", resized)
+            continue
+        m = re.match(r"norm(\d)\.(weight|bias)$", name)
+        if m:  # PVTv2 per-stage output norm
+            put(f"stage_norm{m.group(1)}/{ln_sub[m.group(2)]}", value)
+            continue
+        m = re.match(r"block(\d)\.(\d+)\.(.+)$", name)
+        if m:
+            blk = f"stage{m.group(1)}_block{m.group(2)}"
+            rest = m.group(3)
+            mm = re.match(r"(norm1|norm2)\.(weight|bias)$", rest)
+            if mm:
+                put(f"{blk}/{mm.group(1)}/{ln_sub[mm.group(2)]}", value)
+                continue
+            mm = re.match(r"attn\.(q|kv|proj)\.(weight|bias)$", rest)
+            if mm:
+                if mm.group(2) == "weight":
+                    put(f"{blk}/attn/{mm.group(1)}/kernel", value.T)
+                else:
+                    put(f"{blk}/attn/{mm.group(1)}/bias", value)
+                continue
+            mm = re.match(r"attn\.sr\.(weight|bias)$", rest)
+            if mm:
+                if mm.group(1) == "weight":
+                    put(f"{blk}/attn/sr/kernel", value.transpose(2, 3, 1, 0))
+                else:
+                    put(f"{blk}/attn/sr/bias", value)
+                continue
+            mm = re.match(r"attn\.norm\.(weight|bias)$", rest)
+            if mm:
+                put(f"{blk}/attn/sr_norm/{ln_sub[mm.group(1)]}", value)
+                continue
+            mm = re.match(r"mlp\.(fc1|fc2)\.(weight|bias)$", rest)
+            if mm:
+                if mm.group(2) == "weight":
+                    put(f"{blk}/{mm.group(1)}/kernel", value.T)
+                else:
+                    put(f"{blk}/{mm.group(1)}/bias", value)
+                continue
+            mm = re.match(r"mlp\.dwconv\.dwconv\.(weight|bias)$", rest)
+            if mm:  # torch depthwise (C,1,3,3) -> flax grouped (3,3,1,C)
+                if mm.group(1) == "weight":
+                    put(f"{blk}/dwconv/kernel", value.transpose(2, 3, 1, 0))
+                else:
+                    put(f"{blk}/dwconv/bias", value)
+                continue
+        # cls_token / head.* / v1 final norm.* / pos_drop: classification-only
+
+    if loaded == 0:
+        raise ValueError("no weights matched the PVT name mapping")
+    return _unflatten(flat, params)
 
 
 def _frozen_bn_path(flat_buffers, module: str, sub: str):
