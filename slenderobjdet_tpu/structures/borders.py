@@ -25,6 +25,11 @@ try:
 except Exception:  # pragma: no cover
     cv2 = None
 
+from . import native as _native
+
+# set False to force the pure-numpy renderer (the oracle for the C kernel)
+USE_NATIVE = True
+
 
 def convex_hull(points: np.ndarray) -> Optional[np.ndarray]:
     pts = points.reshape(-1, 2).astype(np.float32)
@@ -150,8 +155,11 @@ class BorderMasks:
         area = cv2.contourArea(hull.astype(np.float32))
         if area <= 1:
             return None
-        dilated = offset_convex_polygon(hull.astype(np.float64),
-                                        np.sqrt(area) * 0.1)
+        # float64 hull so the numpy and native renderers see identical edge
+        # geometry (float32 edge subtraction flips inside/outside at the
+        # boundary between the two otherwise)
+        hull = hull.astype(np.float64)
+        dilated = offset_convex_polygon(hull, np.sqrt(area) * 0.1)
         return hull, dilated
 
     def center_masks(self, mask_size: Tuple[int, int], standard: str = "gaussian",
@@ -169,6 +177,11 @@ class BorderMasks:
             x1 = int(min(W, np.ceil(dilated[:, 0].max()) + 1))
             y1 = int(min(H, np.ceil(dilated[:, 1].max()) + 1))
             if x1 <= x0 or y1 <= y0:
+                continue
+            if (USE_NATIVE and _native.available()
+                    and _native.render_center_score(
+                        hull.astype(np.float64), hull.mean(0), standard,
+                        sigma, (x0, y0, x1, y1), out)):
                 continue
             xs, ys = np.meshgrid(np.arange(x0, x1, dtype=np.float64),
                                  np.arange(y0, y1, dtype=np.float64))
@@ -214,14 +227,20 @@ class BorderMasks:
             y1 = int(min(H, np.ceil(dilated[:, 1].max()) + 1))
             if x1 <= x0 or y1 <= y0:
                 continue
+            o = hull.mean(0)
+            area = cv2.contourArea(hull.astype(np.float32))
+            if (USE_NATIVE and _native.available()
+                    and _native.render_instance_maps(
+                        hull.astype(np.float64), o,
+                        np.sqrt(max(area, 0.0)) * 0.1, (x0, y0, x1, y1),
+                        border, center, sizes)):
+                continue
             xs, ys = np.meshgrid(np.arange(x0, x1, dtype=np.float64),
                                  np.arange(y0, y1, dtype=np.float64))
-            o = hull.mean(0)
             t = radial_fraction(hull, xs, ys, center=o)
             inside = t <= 1.0
 
             # (a) border-proximity band over the dilated window
-            area = cv2.contourArea(hull.astype(np.float32))
             dilate_dist = np.sqrt(max(area, 0.0)) * 0.1
             d_edge = _min_edge_distance(hull, xs, ys)
             band = np.clip(1.0 - d_edge / max(dilate_dist, 1e-9), 0.0, 1.0)
