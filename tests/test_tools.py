@@ -440,3 +440,14 @@ def test_coco_to_pack_tool(artifacts, tmp_path):
               "--max-images", "2"])
     from slenderobjdet_tpu.data.recordpack import PackReader
     assert len(PackReader(out_pack)) == 2
+
+
+def test_data_time_synthetic_pack():
+    """tools/data_time.py --synthetic: self-contained loader throughput
+    A/B, file-backed and RecordPack-backed."""
+    for extra in ([], ["--pack"]):
+        out = run_tool(["tools/data_time.py", "--config-file",
+                        "configs/fcos/fcos_R_50_FPN_1x.yaml",
+                        "--synthetic", "4", "--workers", "2", "--batch", "2",
+                        "--iters", "3", "--image-hw", "60", "80"] + extra)
+        assert "img/s" in out
