@@ -27,6 +27,50 @@ from typing import Any, Callable, Dict, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+# ------------------------------------------------- weight-only quantization
+def quantize_variables(variables) -> Any:
+    """Per-output-channel symmetric int8 quantization of every `kernel`
+    leaf (conv HWIO / dense IO — scale over all but the last axis); biases,
+    norms, buffers, and embeddings stay float32. Weight-only: the exported
+    program dequantizes to float32 before the matmul/conv, so compute
+    precision is unchanged and XLA fuses the dequant into the consumer.
+    Artifact weights shrink ~4x and serving HBM traffic for weights drops
+    correspondingly."""
+
+    def walk(tree):
+        if isinstance(tree, dict):
+            out = {}
+            for k, v in tree.items():
+                if (k == "kernel" and hasattr(v, "ndim") and v.ndim >= 2):
+                    w = np.asarray(v, np.float32)
+                    axes = tuple(range(w.ndim - 1))
+                    s = np.maximum(np.abs(w).max(axis=axes), 1e-12) / 127.0
+                    q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+                    out[k] = {"q": q, "s": s.astype(np.float32)}
+                else:
+                    out[k] = walk(v)
+            return out
+        return tree
+
+    return walk(variables)
+
+
+def _is_qleaf(x) -> bool:
+    return isinstance(x, dict) and set(x.keys()) == {"q", "s"}
+
+
+def dequantize_variables(qvars):
+    def walk(tree):
+        if _is_qleaf(tree):
+            return tree["q"].astype(jnp.float32) * tree["s"]
+        if isinstance(tree, dict):
+            return {k: walk(v) for k, v in tree.items()}
+        return tree
+
+    return walk(qvars)
 
 
 def _batch_spec(batch_size: int, h: int, w: int) -> Dict[str, Any]:
@@ -39,16 +83,24 @@ def _batch_spec(batch_size: int, h: int, w: int) -> Dict[str, Any]:
 
 def export_detector(det, variables, path: str, batch_size: int = 1,
                     image_hw=None,
-                    platforms: Sequence[str] = ("tpu", "cpu")) -> str:
-    """Serialize `det.predict` (fixed shapes) + `variables` under `path`."""
+                    platforms: Sequence[str] = ("tpu", "cpu"),
+                    quantize: bool = False) -> str:
+    """Serialize `det.predict` (fixed shapes) + `variables` under `path`.
+    With `quantize=True` the weights travel as per-channel int8 and the
+    exported program dequantizes in-graph (weight-only quantization)."""
     from flax import serialization
     from jax import export as jexport
 
     h, w = image_hw or det.cfg.TPU.TEST_PAD_SHAPE
+    if quantize:
+        variables = quantize_variables(jax.device_get(variables))
+        fn = lambda qv, batch: det.predict(dequantize_variables(qv), batch)  # noqa: E731
+    else:
+        fn = det.predict
     var_spec = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
         variables)
-    exp = jexport.export(jax.jit(det.predict),
+    exp = jexport.export(jax.jit(fn),
                          platforms=list(platforms))(
         var_spec, _batch_spec(batch_size, h, w))
 
@@ -62,6 +114,7 @@ def export_detector(det, variables, path: str, batch_size: int = 1,
             "batch_size": batch_size,
             "image_hw": [h, w],
             "platforms": list(platforms),
+            "quantize": "int8-weight-only" if quantize else "none",
             "inputs": ["image(uint8 BHWC)", "scale(f32 B)",
                        "orig_size(f32 Bx2)"],
             "outputs": ["boxes", "scores", "classes", "valid"],

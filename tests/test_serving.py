@@ -35,3 +35,50 @@ def test_export_roundtrip(tiny_fcos, tmp_path):
     import os
     assert sorted(os.listdir(path)) == [
         "meta.json", "model.stablehlo", "params.msgpack"]
+
+
+def test_export_quantized_int8(tiny_fcos, tmp_path):
+    """Weight-only int8 artifact: ~4x smaller weights, outputs within
+    quantization tolerance of the fp32 artifact."""
+    import os
+
+    from slenderobjdet_tpu.serving import quantize_variables
+
+    det, variables = tiny_fcos
+    B, H, W = 1, 64, 64
+    fp = export_detector(det, variables, str(tmp_path / "fp"),
+                         batch_size=B, image_hw=(H, W), platforms=["cpu"])
+    q = export_detector(det, variables, str(tmp_path / "q"),
+                        batch_size=B, image_hw=(H, W), platforms=["cpu"],
+                        quantize=True)
+    size_fp = os.path.getsize(os.path.join(fp, "params.msgpack"))
+    size_q = os.path.getsize(os.path.join(q, "params.msgpack"))
+    assert size_q < 0.5 * size_fp, (size_q, size_fp)
+
+    batch = _batch(B, H, W)
+    out_fp = load_detector(fp)(batch)
+    out_q = load_detector(q)(batch)
+    assert np.abs(np.asarray(out_q["scores"], np.float32)
+                  - np.asarray(out_fp["scores"], np.float32)).max() < 0.05
+    import json
+    meta = json.load(open(os.path.join(q, "meta.json")))
+    assert meta["quantize"] == "int8-weight-only"
+
+
+def test_quantize_roundtrip_error_bound():
+    """Per-channel int8 quantization error is bounded by scale/2 per
+    weight (symmetric rounding)."""
+    from slenderobjdet_tpu.serving import (dequantize_variables,
+                                           quantize_variables)
+
+    rng = np.random.RandomState(0)
+    tree = {"layer": {"kernel": rng.randn(3, 3, 8, 16).astype(np.float32),
+                      "bias": rng.randn(16).astype(np.float32)}}
+    qt = quantize_variables(tree)
+    assert qt["layer"]["kernel"]["q"].dtype == np.int8
+    assert qt["layer"]["bias"].dtype == np.float32  # untouched
+    back = dequantize_variables(qt)
+    w = tree["layer"]["kernel"]
+    s = np.abs(w).max(axis=(0, 1, 2)) / 127.0
+    err = np.abs(np.asarray(back["layer"]["kernel"]) - w)
+    assert (err <= s / 2 + 1e-7).all()

@@ -23,6 +23,9 @@ def main():
                     help="orbax checkpoint dir or detectron2 .pkl")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--platforms", nargs="+", default=["tpu", "cpu"])
+    ap.add_argument("--quantize", action="store_true",
+                    help="weight-only per-channel int8 (program dequantizes "
+                         "in-graph)")
     ap.add_argument("--verify", action="store_true",
                     help="reload the artifact and compare one predict")
     args = ap.parse_args()
@@ -50,7 +53,7 @@ def main():
 
     h, w = cfg.TPU.TEST_PAD_SHAPE
     export_detector(det, variables, args.output, batch_size=args.batch,
-                    platforms=args.platforms)
+                    platforms=args.platforms, quantize=args.quantize)
     print(f"exported {args.config} (batch={args.batch}, {h}x{w}) "
           f"-> {args.output}", flush=True)
 
@@ -65,11 +68,15 @@ def main():
         }
         out = predict_fn(batch)
         ref = jax.jit(det.predict)(variables, batch)
+        atol = 0.05 if args.quantize else 1e-5
         for k in ("boxes", "scores", "classes", "valid"):
             np.testing.assert_allclose(
                 np.asarray(out[k], np.float32),
-                np.asarray(ref[k], np.float32), rtol=1e-5, atol=1e-5)
-        print("verify: artifact == det.predict OK", flush=True)
+                np.asarray(ref[k], np.float32), rtol=1e-5,
+                atol=(2.0 if k == "boxes" else atol) if args.quantize
+                else 1e-5)
+        print("verify: artifact == det.predict OK"
+              + (" (int8 tolerance)" if args.quantize else ""), flush=True)
 
 
 if __name__ == "__main__":
