@@ -186,6 +186,37 @@ def build_retinanet_pvt_fpn_backbone(cfg, dtype=jnp.float32) -> BackboneSpec:
     )
 
 
+@BACKBONE_REGISTRY.register(name="build_retinanet_pvtv2_fpn_backbone")
+def build_retinanet_pvtv2_fpn_backbone(cfg, dtype=jnp.float32) -> BackboneSpec:
+    """PVTv2 bottom-up + FPN. The reference ships pvt_v2.py unregistered
+    ("model zoo for future use", SURVEY §2.4); registering it here makes
+    the v2 zoo checkpoints (importable via import_pvt_weights) usable from
+    a config by just swapping BACKBONE.NAME."""
+    from .fpn import FPN
+    from .pvt import build_pvt_backbone_spec as _spec
+
+    pvt_spec = _spec(cfg, dtype=dtype, v2=True)
+    in_features = tuple(cfg.MODEL.FPN.IN_FEATURES)
+    out_channels = cfg.MODEL.FPN.OUT_CHANNELS
+    fpn = FPN(
+        bottom_up=pvt_spec.module,
+        in_features=in_features,
+        out_channels=out_channels,
+        norm=cfg.MODEL.FPN.NORM,
+        fuse_type=cfg.MODEL.FPN.FUSE_TYPE,
+        top_block="p6p7_res5",
+        dtype=dtype,
+    )
+    start = int(PVT_STRIDES[in_features[0]]).bit_length() - 1
+    names = [f"p{start + i}" for i in range(len(in_features))]
+    names += [f"p{int(names[-1][1:]) + 1}", f"p{int(names[-1][1:]) + 2}"]
+    return BackboneSpec(
+        fpn, {n: out_channels for n in names},
+        {n: 2 ** int(n[1:]) for n in names},
+        size_divisibility=max(2 ** int(n[1:]) for n in names),
+    )
+
+
 @BACKBONE_REGISTRY.register(name="build_retinanet_resnet_vt_fpn")
 def build_retinanet_resnet_vt_fpn(cfg, dtype=jnp.float32) -> BackboneSpec:
     bottom_up = resnet_from_cfg(cfg, dtype=dtype)

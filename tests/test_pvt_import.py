@@ -193,3 +193,46 @@ def test_pvt_import_rejects_non_pvt(tmp_path):
     torch.save({"some.layer.weight": torch.zeros(3)}, ckpt)
     with pytest.raises(ValueError, match="PVT"):
         load_model_weights(ckpt, {"x": np.zeros(3)}, {})
+
+
+def test_pvtv2_dwconv_and_stage_norm_import():
+    """v2-only leaves: mlp.dwconv (torch groups=C) regrouped to the flax
+    feature_group_count layout — verified numerically — and the top-level
+    per-stage norm{i} landing in stage_norm{i}."""
+    import torch.nn.functional as F
+
+    from slenderobjdet_tpu.models.backbones.pvt import PVTv2
+
+    model = PVTv2(depths=DEPTHS, dims=DIMS, num_heads=HEADS,
+                  mlp_ratios=MLP, sr_ratios=SR)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+    params = variables["params"]
+    c = DIMS[0] * MLP[0]
+    g = torch.Generator().manual_seed(1)
+    w = torch.randn(c, 1, 3, 3, generator=g)
+    b = torch.randn(c, generator=g)
+    norm_w = torch.randn(DIMS[2], generator=g)
+    sd = {"block1.0.mlp.dwconv.dwconv.weight": w.numpy(),
+          "block1.0.mlp.dwconv.dwconv.bias": b.numpy(),
+          "norm3.weight": norm_w.numpy(),
+          "norm3.bias": np.zeros(DIMS[2], np.float32)}
+    out = import_pvt_weights(sd, params)
+    np.testing.assert_allclose(np.asarray(out["stage_norm3"]["scale"]),
+                               norm_w.numpy())
+
+    # numeric: torch grouped conv == flax feature_group_count conv with the
+    # imported kernel
+    x = torch.randn(1, c, 8, 8, generator=g)
+    want = F.conv2d(x, w, b, padding=1, groups=c)
+    import flax.linen as nn
+
+    conv = nn.Conv(c, (3, 3), padding=1, feature_group_count=c)
+    got = conv.apply(
+        {"params": {"kernel": jnp.asarray(
+            np.asarray(out["stage1_block0"]["dwconv"]["kernel"])),
+            "bias": jnp.asarray(b.numpy())}},
+        jnp.asarray(x.permute(0, 2, 3, 1).numpy()))
+    np.testing.assert_allclose(
+        np.asarray(got), want.permute(0, 2, 3, 1).detach().numpy(),
+        atol=1e-5)
