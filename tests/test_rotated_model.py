@@ -126,3 +126,39 @@ def test_rotated_evaluator_oracle(tmp_path):
     results = evaluator.evaluate()
     assert results["bbox"]["AP50"] == pytest.approx(100.0, abs=1.0)
     assert results["bbox"]["AP"] == pytest.approx(100.0, abs=1.0)
+
+
+def test_rotated_retinanet_converges_on_fixed_batch():
+    """Training-convergence evidence for the rotated family: a tiny
+    RotatedRetinaNet overfits one synthetic rotated batch — loss drops
+    well below its starting point and stays finite (the 5-param
+    Box2BoxTransformRotated deltas + rotated IoU matching train
+    end-to-end)."""
+    import optax
+    from conftest import make_tiny_cfg
+    from slenderobjdet_tpu.engine.train_loop import TrainState, make_train_step
+
+    cfg = make_tiny_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "RotatedRetinaNet"
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32], [64], [128], [256], [512]]
+    cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[0.5, 1.0]]
+    cfg.MODEL.ANCHOR_GENERATOR.ANGLES = [[-45, 0, 45]]
+    cfg.MODEL.RESNETS.NORM = "GN"  # from-scratch training needs a real norm
+    cfg.freeze()
+    det = build_model(cfg)
+    variables = det.init_variables(jax.random.PRNGKey(0))
+    tx = optax.sgd(2e-3, momentum=0.9)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        buffers=variables.get("buffers", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    step = make_train_step(det, tx, donate=False)
+    batch = make_rotated_batch(B=2, G=6)
+    losses = []
+    for _ in range(60):
+        state, m = step(state, batch)
+        losses.append(float(m["total_loss"]))
+    assert all(np.isfinite(l) for l in losses), losses[-5:]
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
