@@ -97,12 +97,25 @@ class AsyncPackWriter:
             self._error = e
 
     def write(self, data: bytes, name: str) -> None:
-        if self._error is not None:
-            raise RuntimeError("pack writer thread failed") from self._error
-        self._queue.put((data, name))
+        # bounded put so a dead writer thread + full queue can't deadlock
+        # the producer: re-check the error flag between attempts
+        while True:
+            if self._error is not None:
+                raise RuntimeError(
+                    "pack writer thread failed") from self._error
+            try:
+                self._queue.put((data, name), timeout=1.0)
+                return
+            except queue.Full:
+                continue
 
     def close(self) -> None:
-        self._queue.put(None)
+        while self._thread.is_alive():
+            try:
+                self._queue.put(None, timeout=1.0)
+                break
+            except queue.Full:
+                continue  # a dead thread exits the loop via is_alive()
         self._thread.join()
         if self._error is not None:
             raise RuntimeError("pack writer thread failed") from self._error

@@ -221,3 +221,19 @@ def test_mapper_precomputed_sizes_pack(packed_dataset):
                                    atol=1e-5)
         np.testing.assert_allclose(a["size_map"], b["size_map"], atol=1e-3)
     assert hit
+
+
+def test_async_writer_error_propagates(tmp_path):
+    """A failure inside the writer thread (duplicate record name) surfaces
+    as RuntimeError on write()/close() instead of deadlocking the producer
+    against a full queue."""
+    import time
+
+    w = AsyncPackWriter(str(tmp_path / "err.pack"), maxsize=2).start()
+    w.write(b"x", "dup")
+    with pytest.raises(RuntimeError):
+        for _ in range(200):
+            w.write(b"y", "dup")
+            time.sleep(0.005)
+    with pytest.raises(RuntimeError):
+        w.close()
