@@ -20,11 +20,19 @@ by the kernel's + base is a no-op chain, rpd.py:624-640).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# SLENDER_PAIR_GATHER=1 routes deform_sample_batched through the pair-table
+# gather (2 rows of 2C instead of 4 rows of C per sample — fp32-exact equal,
+# tests/test_deform_conv.py). Off by default pending the on-chip A/B
+# (tools/gather_probe.py; the axon tunnel was down when it was built —
+# see NOTES_NEXT_ROUND.md / tools/tpu_queue.sh).
+_PAIR_GATHER = os.environ.get("SLENDER_PAIR_GATHER", "0") == "1"
 
 
 def kernel_base_offsets(kernel_size: int = 3) -> np.ndarray:
@@ -219,6 +227,8 @@ def deform_sample_batched(x, offsets):
         + offsets[..., 0]
     xx = jnp.arange(w, dtype=offsets.dtype)[None, None, :, None] \
         + offsets[..., 1]
+    if _PAIR_GATHER:
+        return _gather_bilinear_pair_batched(x, yy, xx)
     return _gather_bilinear_zeropad_batched(x, yy, xx)
 
 
