@@ -115,3 +115,36 @@ def test_reppoints_predict(tiny_reppoints):
     out = jax.jit(det.predict)(variables, batch)
     assert out["boxes"].shape == (1, det.max_dets, 4)
     assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+def test_reppoints_converges_on_fixed_batch():
+    """Training-convergence evidence for the deform family: a tiny
+    RepPointsDetector (GN trunk) overfits one synthetic batch — the
+    grad-mul DCN offsets, point matchers, and moment decode train
+    end-to-end without NaNs."""
+    import optax
+    from conftest import make_tiny_cfg
+    from slenderobjdet_tpu.engine.train_loop import TrainState, make_train_step
+
+    cfg = make_tiny_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "RepPointsDetector"
+    cfg.MODEL.RESNETS.NORM = "GN"
+    cfg.freeze()
+    det = build_model(cfg)
+    variables = det.init_variables(jax.random.PRNGKey(0))
+    tx = optax.sgd(8e-3, momentum=0.9)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        buffers=variables.get("buffers", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    step = make_train_step(det, tx, donate=False)
+    batch = make_batch(B=2, G=6)
+    losses = []
+    for _ in range(100):
+        state, m = step(state, batch)
+        losses.append(float(m["total_loss"]))
+    assert all(np.isfinite(l) for l in losses), losses[-5:]
+    # measured: 0.888 -> ~0.32 by step 100 at this lr
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
