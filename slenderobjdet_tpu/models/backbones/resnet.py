@@ -168,8 +168,20 @@ class ResNet(nn.Module):
     deform_on_per_stage: Sequence[bool] = (False, False, False, False)
     deform_modulated: bool = False
     fused_blocks: bool = False
+    fused_stem: bool = False       # MODEL.RESNETS.FUSED_STEM (Pallas)
     remat: bool = False
     dtype: Any = jnp.float32
+
+    def _fused_stem_call(self, x):
+        """Whole stem as one Pallas kernel (ops/fused_stem.py): the FrozenBN
+        affine is folded in and only the pooled output leaves the chip.
+        Parameters were created by the normal path during init, so the
+        pytree is identical; this path only reads them."""
+        from ...ops.fused_stem import fused_stem
+
+        w = self.variables["params"]["stem_conv1"]["kernel"]
+        bn = self.variables["buffers"]["FrozenBatchNorm_0"]
+        return fused_stem(x.astype(self.dtype), w, bn["scale"], bn["bias"])
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
@@ -185,12 +197,20 @@ class ResNet(nn.Module):
         basic_cls = nn.remat(BasicBlock) if self.remat else BasicBlock
 
         # ---- stem: 7x7/2 + 3x3 maxpool/2
-        out = nn.Conv(self.stem_out_channels, (7, 7), (2, 2), padding=3,
-                      use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-                      name="stem_conv1")(x)
-        out = get_norm(self.norm, self.stem_out_channels, self.dtype)(out)
-        out = nn.relu(out)
-        out = nn.max_pool(out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        from ...ops.fused_stem import stem_eligible
+
+        if (self.fused_stem and self.norm == "FrozenBN"
+                and not self.is_initializing()
+                and stem_eligible(x.shape, (7, 7, 3, self.stem_out_channels))):
+            out = self._fused_stem_call(x)
+        else:
+            out = nn.Conv(self.stem_out_channels, (7, 7), (2, 2), padding=3,
+                          use_bias=False, dtype=self.dtype,
+                          param_dtype=jnp.float32, name="stem_conv1")(x)
+            out = get_norm(self.norm, self.stem_out_channels, self.dtype)(out)
+            out = nn.relu(out)
+            out = nn.max_pool(out, (3, 3), strides=(2, 2),
+                              padding=((1, 1), (1, 1)))
 
         features: Dict[str, jnp.ndarray] = {}
         out_channels = self.res2_out_channels if block_type == "bottleneck" else 64
@@ -258,6 +278,7 @@ def resnet_from_cfg(cfg, dtype=jnp.float32) -> ResNet:
         deform_on_per_stage=tuple(r.DEFORM_ON_PER_STAGE),
         deform_modulated=r.DEFORM_MODULATED,
         fused_blocks=getattr(r, "FUSED_BLOCKS", False),
+        fused_stem=getattr(r, "FUSED_STEM", False),
         remat=cfg.TPU.REMAT_BACKBONE,
         dtype=dtype,
     )

@@ -46,7 +46,11 @@ def main():
         "orig_size": jnp.asarray([[1333, 2000]] * B, jnp.float32),
     }
 
-    def program(z, image):
+    # variables is a jit ARGUMENT, not a closure: closed-over params are
+    # baked into the StableHLO as constants, and for big backbones
+    # (hourglass-104) the axon remote_compile endpoint rejects the payload
+    # (HTTP 413).
+    def program(z, image, variables):
         def body(carry, _):
             b = dict(batch)
             b["image"] = image + carry.astype(image.dtype)
@@ -61,11 +65,11 @@ def main():
     f = jax.jit(program)
     z = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
-    float(f(z, img))
+    float(f(z, img, variables))
     print(f"compile+warm {time.perf_counter() - t0:.0f}s", flush=True)
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        float(f(z, img))
+        float(f(z, img, variables))
     dt = (time.perf_counter() - t0) / args.iters / args.reps
     name = cfg.MODEL.META_ARCHITECTURE
     print(f"{name} B={B} {H}x{W}: {dt * 1e3 / B:.2f} ms/img "
