@@ -18,20 +18,27 @@ from ..structures import boxes as box_ops
 
 
 def iou_matcher(
-    anchors: jnp.ndarray,          # (N, 4)
-    gt_boxes: jnp.ndarray,         # (G, 4)
+    anchors: jnp.ndarray,          # (N, 4) — or (N, 5) XYWHA w/ pairwise_fn
+    gt_boxes: jnp.ndarray,         # (G, 4) — or (G, 5)
     gt_valid: jnp.ndarray,         # (G,)
     thresholds: Sequence[float],
     labels: Sequence[int],
     allow_low_quality_matches: bool = True,
+    pairwise_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """detectron2 Matcher semantics on padded gt.
+
+    pairwise_fn(gt, anchors) -> (G, N) overrides the similarity (e.g.
+    ops.rotated.pairwise_rotated_iou for XYWHA boxes, as d2's RRPN/RROIHeads
+    plug pairwise_iou_rotated into the same Matcher).
 
     Returns:
         matched_idx: (N,) int32 index into gt (0 when no valid gt)
         match_labels: (N,) int8 from `labels` per threshold bin
     """
-    iou = box_ops.pairwise_iou(gt_boxes, anchors)          # (G, N)
+    if pairwise_fn is None:
+        pairwise_fn = box_ops.pairwise_iou
+    iou = pairwise_fn(gt_boxes, anchors)                   # (G, N)
     iou = jnp.where(gt_valid[:, None], iou, -1.0)
 
     matched_vals = jnp.max(iou, axis=0)                    # (N,)

@@ -62,7 +62,14 @@ class ProposalVisibleRCNN:
 
     def __init__(self, cfg, with_anchor: bool = False):
         self.cfg = cfg
-        self.with_anchor = (
+        # Rotated two-stage path (reference configs/rotated/faster_R_*.yaml,
+        # configs/submit/test_dev.yaml): PROPOSAL_GENERATOR "RRPN" +
+        # ROI_HEADS "RROIHeads" swap in the XYWHA machinery wholesale.
+        self.rotated = (
+            cfg.MODEL.PROPOSAL_GENERATOR.NAME == "RRPN"
+            or cfg.MODEL.ROI_HEADS.NAME == "RROIHeads"
+        )
+        self.with_anchor = not self.rotated and (
             with_anchor or cfg.MODEL.PROPOSAL_GENERATOR.NAME == "RPNWithAnchor"
         )
         dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
@@ -71,16 +78,25 @@ class ProposalVisibleRCNN:
 
         rpn_in = list(cfg.MODEL.RPN.IN_FEATURES)
         rpn_strides = [spec.strides[f] for f in rpn_in]
-        self.rpn = RPN(cfg, rpn_strides)
 
         roi_in = list(cfg.MODEL.ROI_HEADS.IN_FEATURES)
         roi_strides = [spec.strides[f] for f in roi_in]
-        self.roi_heads = StandardROIHeads(cfg, roi_strides, dtype=dtype)
+
+        if self.rotated:
+            from ..proposal_generator.rrpn import RotatedRPN
+            from ..roi_heads.rotated import RotatedROIHeads
+
+            self.rpn = RotatedRPN(cfg, rpn_strides)
+            self.roi_heads = RotatedROIHeads(cfg, roi_strides, dtype=dtype)
+        else:
+            self.rpn = RPN(cfg, rpn_strides)
+            self.roi_heads = StandardROIHeads(cfg, roi_strides, dtype=dtype)
 
         self.module = RCNNModule(
             backbone=spec.module,
             rpn_head=StandardRPNHead(
-                num_anchors=self.rpn.num_cell_anchors, dtype=dtype
+                num_anchors=self.rpn.num_cell_anchors,
+                box_dim=5 if self.rotated else 4, dtype=dtype,
             ),
             rpn_in_features=tuple(rpn_in),
             roi_in_features=tuple(roi_in),
@@ -138,9 +154,10 @@ class ProposalVisibleRCNN:
         anchors_np, counts = self._rpn_anchors(images.shape[1:3])
         anchors = jnp.asarray(anchors_np)
 
+        gt_boxes = batch["gt_rboxes"] if self.rotated else batch["gt_boxes"]
         rpn_losses = self.rpn.losses(
             r_rpn, anchors, logits, deltas,
-            batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"],
+            gt_boxes, batch["gt_classes"], batch["gt_valid"],
         )
 
         image_sizes = batch.get(
@@ -156,7 +173,7 @@ class ProposalVisibleRCNN:
 
         roi_losses = self.roi_heads.losses(
             r_roi, roi_vars, roi_feats, proposals, prop_valid,
-            batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"],
+            gt_boxes, batch["gt_classes"], batch["gt_valid"],
         )
 
         metrics = {**rpn_losses}
@@ -203,7 +220,12 @@ class ProposalVisibleRCNN:
         )
         # proposal visibility (reference pvrcnn.py inference extra outputs)
         scale = batch["scale"].astype(jnp.float32)[:, None, None]
-        out["proposals"] = proposals / scale
+        if self.rotated:
+            # XYWHA: rescale cx, cy, w, h; angle is scale-invariant
+            out["proposals"] = proposals.at[..., :4].set(
+                proposals[..., :4] / scale)
+        else:
+            out["proposals"] = proposals / scale
         out["proposal_scores"] = prop_scores
         out["proposal_valid"] = prop_valid
         if self.with_anchor:

@@ -29,57 +29,12 @@ from ...ops.rotated import (
     pairwise_rotated_iou,
     rotated_nms,
 )
-from ..anchors import feature_map_shapes
+from ..anchors import (  # noqa: F401  (re-exported: historical home)
+    RotatedAnchorGeneratorSpec,
+    rotated_cell_anchors,
+)
 from ..backbones.fpn import build_backbone
 from .retinanet import RetinaNetHead
-
-
-def rotated_cell_anchors(sizes, aspect_ratios, angles) -> np.ndarray:
-    """(S*R*A, 5) XYWHA cell anchors centered at origin (d2 ordering:
-    size-major, then ratio, then angle)."""
-    out = []
-    for size in sizes:
-        area = size ** 2.0
-        for ar in aspect_ratios:
-            w = math.sqrt(area / ar)
-            h = ar * w
-            for a in angles:
-                out.append([0.0, 0.0, w, h, a])
-    return np.array(out, np.float32)
-
-
-class RotatedAnchorGeneratorSpec:
-    def __init__(self, cfg, strides: Sequence[int]):
-        g = cfg.MODEL.ANCHOR_GENERATOR
-        sizes, ratios, angles = g.SIZES, g.ASPECT_RATIOS, g.ANGLES
-        n = len(strides)
-        sizes = list(sizes) * n if len(sizes) == 1 else sizes
-        ratios = list(ratios) * n if len(ratios) == 1 else ratios
-        angles = list(angles) * n if len(angles) == 1 else angles
-        self.strides = list(strides)
-        self.offset = g.OFFSET
-        self.cell_anchors = [
-            rotated_cell_anchors(s, r, a)
-            for s, r, a in zip(sizes, ratios, angles)
-        ]
-        self.num_cell_anchors = [c.shape[0] for c in self.cell_anchors]
-
-    def anchors(self, image_hw) -> Tuple[np.ndarray, List[int]]:
-        shapes = feature_map_shapes(image_hw, self.strides)
-        per_level = []
-        for (h, w), s, ca in zip(shapes, self.strides, self.cell_anchors):
-            sx = (np.arange(w, dtype=np.float32) + self.offset) * s
-            sy = (np.arange(h, dtype=np.float32) + self.offset) * s
-            gx, gy = np.meshgrid(sx, sy)
-            shifts = np.stack(
-                [gx.reshape(-1), gy.reshape(-1)] + [np.zeros(h * w, np.float32)] * 3,
-                axis=1,
-            )
-            per_level.append(
-                (shifts[:, None, :] + ca[None, :, :]).reshape(-1, 5)
-            )
-        counts = [a.shape[0] for a in per_level]
-        return np.concatenate(per_level), counts
 
 
 def rotated_label_anchors(anchors, gt_rboxes, gt_classes, gt_valid,

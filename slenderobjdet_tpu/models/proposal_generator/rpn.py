@@ -33,6 +33,7 @@ from ..sampling import subsample_labels
 
 class StandardRPNHead(nn.Module):
     num_anchors: int
+    box_dim: int = 4               # 5 for RRPN (XYWHA deltas, d2 parity)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -44,15 +45,16 @@ class StandardRPNHead(nn.Module):
         objectness = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype,
                              param_dtype=jnp.float32, kernel_init=init,
                              name="objectness_logits")
-        deltas = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,
-                         param_dtype=jnp.float32, kernel_init=init,
-                         name="anchor_deltas")
+        deltas = nn.Conv(self.num_anchors * self.box_dim, (1, 1),
+                         dtype=self.dtype, param_dtype=jnp.float32,
+                         kernel_init=init, name="anchor_deltas")
         logits, regs = [], []
         for f in feats:
             b, h, w, _ = f.shape
             t = nn.relu(conv(f))
             logits.append(objectness(t).astype(jnp.float32).reshape(b, -1))
-            regs.append(deltas(t).astype(jnp.float32).reshape(b, -1, 4))
+            regs.append(deltas(t).astype(jnp.float32)
+                        .reshape(b, -1, self.box_dim))
         return logits, regs
 
 

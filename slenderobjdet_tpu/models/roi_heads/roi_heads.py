@@ -47,6 +47,7 @@ class FastRCNNConvFCHead(nn.Module):
 class FastRCNNOutputLayers(nn.Module):
     num_classes: int
     cls_agnostic: bool = False
+    box_dim: int = 4               # 5 for RROIHeads (XYWHA, d2 parity)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -57,7 +58,7 @@ class FastRCNNOutputLayers(nn.Module):
                           param_dtype=jnp.float32, kernel_init=cls_init,
                           name="cls_score")(x).astype(jnp.float32)
         num_box = 1 if self.cls_agnostic else self.num_classes
-        deltas = nn.Dense(num_box * 4, dtype=self.dtype,
+        deltas = nn.Dense(num_box * self.box_dim, dtype=self.dtype,
                           param_dtype=jnp.float32, kernel_init=box_init,
                           name="bbox_pred")(x).astype(jnp.float32)
         return scores, deltas
