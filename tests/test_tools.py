@@ -388,17 +388,26 @@ def test_inference_obj365_end_to_end(artifacts):
 # slender eval, exercised end-to-end so a data-bearing round produces all
 # five mAP numbers with zero new code (VERDICT r2 next-step #2)
 BASELINE_REHEARSAL_CONFIGS = [
-    "configs/fcos/fcos_R_50_FPN_1x.yaml",
-    "configs/retina/retinanet_R_50_FPN_1x.yaml",
-    "configs/faster/faster_rcnn_R_50_FPN_1x.yaml",
-    "configs/rep-points/reppointsv2_R_50_FPN_1x.yaml",
-    "configs/rotated/rotated_retinanet_R_50_FPN_1x.yaml",
-    "configs/corner/corner_net_hourglass.yaml",
+    ("configs/fcos/fcos_R_50_FPN_1x.yaml", []),
+    ("configs/retina/retinanet_R_50_FPN_1x.yaml", []),
+    ("configs/faster/faster_rcnn_R_50_FPN_1x.yaml", []),
+    ("configs/rep-points/reppointsv2_R_50_FPN_1x.yaml", []),
+    ("configs/rotated/rotated_retinanet_R_50_FPN_1x.yaml", []),
+    ("configs/corner/corner_net_hourglass.yaml", []),
+    # rotated two-stage (round 3): the exact rotated-NMS scan is O(post_k *
+    # candidates) polygon clips on this 1-core CPU host, so ONLY the RPN
+    # selection sizes are CI-shrunk; the recipe structure is untouched
+    ("configs/rotated/faster_rcnn_rotated_R_50_FPN_1x.yaml",
+     ["MODEL.RPN.PRE_NMS_TOPK_TRAIN", "200",
+      "MODEL.RPN.PRE_NMS_TOPK_TEST", "100",
+      "MODEL.RPN.POST_NMS_TOPK_TRAIN", "64",
+      "MODEL.RPN.POST_NMS_TOPK_TEST", "64",
+      "MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE", "32"]),
 ]
 
 
-@pytest.mark.parametrize("config_file", BASELINE_REHEARSAL_CONFIGS)
-def test_coco_rehearsal_dry_run(tmp_path, config_file):
+@pytest.mark.parametrize("config_file,extra_opts", BASELINE_REHEARSAL_CONFIGS)
+def test_coco_rehearsal_dry_run(tmp_path, config_file, extra_opts):
     """The real-COCO rehearsal harness must dry-run the full 1x recipe path
     (register -> train -> checkpoint -> slender eval) on synthetic data for
     every BASELINE config family."""
@@ -406,7 +415,8 @@ def test_coco_rehearsal_dry_run(tmp_path, config_file):
     out = run_tool(["tools/coco_rehearsal.py", "--dry-run",
                     "--config-file", config_file,
                     "--output-dir", out_dir,
-                    "SOLVER.MAX_ITER", "8", "SOLVER.STEPS", "(5, 7)"],
+                    "SOLVER.MAX_ITER", "8", "SOLVER.STEPS", "(5, 7)"]
+                   + extra_opts,
                    timeout=560)
     assert "dry-run complete" in out
     assert os.path.exists(os.path.join(out_dir, "metrics.json"))
