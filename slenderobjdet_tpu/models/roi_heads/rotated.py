@@ -21,7 +21,10 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.losses import smooth_l1_loss
-from ...ops.roi_align_rotated import multilevel_roi_align_rotated
+from ...ops.roi_align_rotated import (
+    multilevel_roi_align_rotated,
+    multilevel_roi_align_rotated_fused,
+)
 from ...ops.rotated import (
     apply_rotated_deltas,
     get_rotated_deltas,
@@ -99,8 +102,14 @@ class RotatedROIHeads(StandardROIHeads):
                                          box_dim=5, dtype=dtype),
         )
 
-    def pool(self, feats_per_image: List[jnp.ndarray], rois: jnp.ndarray):
-        return multilevel_roi_align_rotated(
+    def pool(self, feats_per_image: List[jnp.ndarray], rois: jnp.ndarray,
+             fused: bool = False):
+        """fused=True (inference) gathers each roi only from its assigned
+        level via the flattened-level table (4x fewer gathered bytes; see
+        ops/roi_align.py). Training keeps the all-level path."""
+        fn = (multilevel_roi_align_rotated_fused if fused
+              else multilevel_roi_align_rotated)
+        return fn(
             feats_per_image, self.strides, rois,
             output_size=self.pooler_resolution,
             sampling_ratio=self.sampling_ratio,
@@ -163,7 +172,7 @@ class RotatedROIHeads(StandardROIHeads):
         reference feature; it is ignored here."""
         del prop_anchors
         pooled = jax.vmap(
-            lambda *args: self.pool(list(args[:-1]), args[-1])
+            lambda *args: self.pool(list(args[:-1]), args[-1], fused=True)
         )(*feats, proposals)
         scores, deltas = self.module.apply(variables, pooled)
         probs = jax.nn.softmax(scores, axis=-1)[..., :-1]   # (B,R,C)

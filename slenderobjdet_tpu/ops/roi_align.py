@@ -198,7 +198,10 @@ def multilevel_roi_align(
 ) -> jnp.ndarray:
     """Pool every roi from its assigned pyramid level. Fixed-shape strategy:
     pool from ALL levels and select per-roi — trades FLOPs for static shape
-    (the per-level partitioning of the CUDA pooler is data-dependent)."""
+    (the per-level partitioning of the CUDA pooler is data-dependent).
+
+    This path carries the matmul-adjoint custom VJP (training); inference
+    uses `multilevel_roi_align_fused` below, which gathers 4x fewer bytes."""
     min_level = int(np.log2(strides[0]))
     max_level = int(np.log2(strides[-1]))
     levels = assign_fpn_levels(rois, min_level, max_level,
@@ -212,3 +215,133 @@ def multilevel_roi_align(
             sel, pooled, 0.0
         )
     return out
+
+
+def multilevel_roi_align_fused(
+    feats: Sequence[jnp.ndarray],     # list of (H_l, W_l, C), one image
+    strides: Sequence[int],
+    rois: jnp.ndarray,                # (N, 4) image coords
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    canonical_level: int = 4,
+    roi_chunk: int = 128,
+) -> jnp.ndarray:
+    """Single-gather multilevel RoIAlign (inference hot path).
+
+    All pyramid levels are flattened row-major into ONE (sum H_l*W_l, C)
+    table; each roi's bilinear taps index only its assigned level via
+    global row indices (level row-offset + y*W_l + x, y/x clamped to that
+    level's bounds). Gathers exactly the bytes the pooled output needs —
+    4x less HBM gather traffic than `multilevel_roi_align`'s
+    pool-every-level-and-select strategy. Output matches that path up to fp
+    reduction order (~1e-6 rel: same taps and weights, but XLA may
+    reassociate the bin mean differently across the two programs).
+
+    Forward-only by design: training keeps `multilevel_roi_align`, whose
+    custom VJP turns the gather adjoint into two MXU matmuls (the fused
+    path would fall back to XLA's scatter-add transpose, the exact thing
+    that VJP was built to avoid)."""
+    def sample_grid(rois_c, sc_c):
+        # aligned=True sample grid at the per-roi scale (same float math as
+        # _sample_grid/_roi_align_impl)
+        P, S = output_size, sampling_ratio
+        r = rois_c * sc_c[:, None]
+        x1 = r[:, 0] - 0.5
+        y1 = r[:, 1] - 0.5
+        roi_w = r[:, 2] - 0.5 - x1
+        roi_h = r[:, 3] - 0.5 - y1
+        ps = (jnp.arange(P)[:, None] + (jnp.arange(S)[None, :] + 0.5) / S)
+        ys = y1[:, None, None] + ps[None] * (roi_h / P)[:, None, None]
+        xs = x1[:, None, None] + ps[None] * (roi_w / P)[:, None, None]
+        n = rois_c.shape[0]
+        yy = jnp.broadcast_to(ys[:, :, :, None, None], (n, P, S, P, S))
+        xx = jnp.broadcast_to(xs[:, None, None, :, :], (n, P, S, P, S))
+        return yy, xx
+
+    return _fused_multilevel_pool(feats, strides, rois, sample_grid,
+                                  output_size, sampling_ratio,
+                                  canonical_level, roi_chunk)
+
+
+def _fused_multilevel_pool(feats, strides, rois, sample_grid, output_size,
+                           sampling_ratio, canonical_level, roi_chunk):
+    """Shared engine of the fused poolers: flatten all levels into one row
+    table, compute per-roi sample grids via `sample_grid(rois_chunk,
+    inv_scale_chunk) -> (yy, xx) of shape (n, P, S, P, S)` in the roi's
+    assigned-level coordinates, then bilinear-gather with per-roi bounds."""
+    min_level = int(np.log2(strides[0]))
+    max_level = int(np.log2(strides[-1]))
+    # level assignment by sqrt(w*h) — for XYXY rois this equals sqrt(area);
+    # rotated callers pass an equivalent-extent proxy
+    proxy = rois if rois.shape[-1] == 4 else jnp.stack(
+        [jnp.zeros_like(rois[:, 0]), jnp.zeros_like(rois[:, 1]),
+         rois[:, 2], rois[:, 3]], axis=-1)
+    levels = assign_fpn_levels(proxy, min_level, max_level,
+                               canonical_level=canonical_level)
+    lvl = levels - min_level                                   # (N,) in [0,L)
+
+    heights = np.asarray([f.shape[0] for f in feats], np.int32)
+    widths = np.asarray([f.shape[1] for f in feats], np.int32)
+    row_off = np.concatenate(
+        [[0], np.cumsum(heights.astype(np.int64) * widths)[:-1]]
+    ).astype(np.int32)
+    inv_scale = np.asarray([1.0 / s for s in strides], np.float32)
+
+    C = feats[0].shape[-1]
+    flat = jnp.concatenate([f.reshape(-1, C) for f in feats], axis=0)
+
+    # per-roi level geometry
+    h_l = jnp.asarray(heights)[lvl]                            # (N,)
+    w_l = jnp.asarray(widths)[lvl]
+    off_l = jnp.asarray(row_off)[lvl]
+    sc_l = jnp.asarray(inv_scale)[lvl]
+
+    P = output_size
+
+    def pool_chunk(args):
+        rois_c, h_c, w_c, off_c, sc_c = args
+        yy, xx = sample_grid(rois_c, sc_c)
+
+        y0 = jnp.floor(yy)
+        x0 = jnp.floor(xx)
+        ly = yy - y0
+        lx = xx - x0
+        hb = (h_c - 1)[:, None, None, None, None]
+        wb = (w_c - 1)[:, None, None, None, None]
+        y0 = jnp.clip(y0.astype(jnp.int32), 0, hb)
+        x0 = jnp.clip(x0.astype(jnp.int32), 0, wb)
+        y1i = jnp.minimum(y0 + 1, hb)
+        x1i = jnp.minimum(x0 + 1, wb)
+
+        base = off_c[:, None, None, None, None]
+        wrow = w_c[:, None, None, None, None]
+        v00 = flat[base + y0 * wrow + x0]
+        v01 = flat[base + y0 * wrow + x1i]
+        v10 = flat[base + y1i * wrow + x0]
+        v11 = flat[base + y1i * wrow + x1i]
+        wy = ly[..., None]
+        wx = lx[..., None]
+        samples = (
+            v00 * (1 - wy) * (1 - wx)
+            + v01 * (1 - wy) * wx
+            + v10 * wy * (1 - wx)
+            + v11 * wy * wx
+        )                                                    # (n,P,S,P,S,C)
+        return samples.mean(axis=(2, 4))                     # (n,P,P,C)
+
+    n = rois.shape[0]
+    if n > roi_chunk:
+        pad = (-n) % roi_chunk
+        m = (n + pad) // roi_chunk
+
+        def cpad(a):
+            return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)).reshape(
+                (m, roi_chunk) + a.shape[1:]
+            )
+
+        out = jax.lax.map(
+            pool_chunk, (cpad(rois), cpad(h_l), cpad(w_l), cpad(off_l),
+                         cpad(sc_l))
+        )
+        return out.reshape(n + pad, P, P, C)[:n]
+    return pool_chunk((rois, h_l, w_l, off_l, sc_l))

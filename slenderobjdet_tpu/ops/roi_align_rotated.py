@@ -32,7 +32,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .roi_align import _bilinear_gather, assign_fpn_levels
+from .roi_align import (
+    _bilinear_gather,
+    _fused_multilevel_pool,
+    assign_fpn_levels,
+)
 
 
 def roi_align_rotated(
@@ -113,3 +117,43 @@ def multilevel_roi_align_rotated(
         term = jnp.where(sel, pooled, 0.0)
         out = term if out is None else out + term
     return out
+
+
+def multilevel_roi_align_rotated_fused(
+    feats: Sequence[jnp.ndarray],     # list of (H_l, W_l, C), one image
+    strides: Sequence[int],
+    rois: jnp.ndarray,                # (N, 5) XYWHA image coords
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    canonical_level: int = 4,
+    roi_chunk: int = 128,
+) -> jnp.ndarray:
+    """Single-gather rotated multilevel pooler (inference hot path): the
+    rotated sample grid over the flattened-level table of
+    roi_align.multilevel_roi_align_fused — 4x fewer gathered bytes than the
+    pool-every-level path, same output up to fp reduction order."""
+    P, S = output_size, sampling_ratio
+
+    def sample_grid(rois_c, sc_c):
+        n = rois_c.shape[0]
+        cx = rois_c[:, 0] * sc_c - 0.5
+        cy = rois_c[:, 1] * sc_c - 0.5
+        roi_w = rois_c[:, 2] * sc_c
+        roi_h = rois_c[:, 3] * sc_c
+        theta = rois_c[:, 4] * (math.pi / 180.0)
+        cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+
+        ps = jnp.arange(P)[:, None] + (jnp.arange(S)[None, :] + 0.5) / S
+        yy = (-0.5 + ps[None] / P) * roi_h[:, None, None]
+        xx = (-0.5 + ps[None] / P) * roi_w[:, None, None]
+        yy = jnp.broadcast_to(yy[:, :, :, None, None], (n, P, S, P, S))
+        xx = jnp.broadcast_to(xx[:, None, None, :, :], (n, P, S, P, S))
+        c = cos_t[:, None, None, None, None]
+        s = sin_t[:, None, None, None, None]
+        y = yy * c - xx * s + cy[:, None, None, None, None]
+        x = yy * s + xx * c + cx[:, None, None, None, None]
+        return y, x
+
+    return _fused_multilevel_pool(feats, strides, rois, sample_grid,
+                                  output_size, sampling_ratio,
+                                  canonical_level, roi_chunk)

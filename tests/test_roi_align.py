@@ -137,3 +137,41 @@ def test_custom_vjp_chunked_path(rng):
     )(feat)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_matches_all_level_path(rng):
+    """The single-gather flattened-level pooler (inference hot path) must
+    match the pool-every-level-and-select path — same sample grid, same taps,
+    same weights, just 1/4 the gathered bytes. The two compiled programs may
+    reassociate the bin reduction differently, so equality is up to fp
+    rounding (~1e-6 rel observed), not bitwise."""
+    from slenderobjdet_tpu.ops.roi_align import multilevel_roi_align_fused
+
+    strides = [4, 8, 16, 32]
+    feats = [jnp.asarray(rng.rand(64 // s, 80 // s, 6).astype(np.float32))
+             for s in strides]
+    n = 37  # exercises the chunked lax.map path at roi_chunk=16
+    x1 = rng.rand(n) * 100
+    y1 = rng.rand(n) * 80
+    w = rng.rand(n) * 500 + 4   # spans all pyramid levels incl. clamping
+    h = rng.rand(n) * 500 + 4
+    rois = jnp.asarray(np.stack([x1, y1, x1 + w, y1 + h], 1).astype(np.float32))
+
+    want = np.asarray(multilevel_roi_align(feats, strides, rois, output_size=7))
+    got = np.asarray(multilevel_roi_align_fused(
+        feats, strides, rois, output_size=7, roi_chunk=16))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # bf16 features (the production dtype) agree too (taps are bf16 exactly
+    # widened to fp32 in both paths; only reduction order differs)
+    feats16 = [f.astype(jnp.bfloat16) for f in feats]
+    want16 = np.asarray(
+        multilevel_roi_align(feats16, strides, rois, output_size=7))
+    got16 = np.asarray(multilevel_roi_align_fused(
+        feats16, strides, rois, output_size=7, roi_chunk=16))
+    np.testing.assert_allclose(got16, want16, rtol=1e-5, atol=1e-6)
+
+    # unchunked path (n <= roi_chunk)
+    got1 = np.asarray(multilevel_roi_align_fused(
+        feats, strides, rois, output_size=7, roi_chunk=64))
+    np.testing.assert_allclose(got1, want, rtol=1e-5, atol=1e-6)

@@ -99,6 +99,41 @@ def test_roi_align_rotated_chunked_matches_unchunked(rng):
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
+def test_rotated_fused_matches_all_level_path(rng):
+    """multilevel_roi_align_rotated_fused (single flattened-level gather,
+    inference hot path) must match the pool-every-level path up to fp
+    reduction order."""
+    import jax.numpy as jnp
+
+    from slenderobjdet_tpu.ops.roi_align_rotated import (
+        multilevel_roi_align_rotated,
+        multilevel_roi_align_rotated_fused,
+    )
+
+    strides = [4, 8, 16, 32]
+    feats = [jnp.asarray(rng.randn(64 // s, 80 // s, 6).astype(np.float32))
+             for s in strides]
+    n = 37
+    rois = jnp.asarray(np.column_stack([
+        rng.rand(n) * 200 + 20, rng.rand(n) * 150 + 20,   # cx, cy
+        rng.rand(n) * 500 + 4, rng.rand(n) * 500 + 4,     # w, h (all levels)
+        rng.rand(n) * 360 - 180,                          # angle
+    ]).astype(np.float32))
+
+    want = np.asarray(multilevel_roi_align_rotated(
+        feats, strides, rois, output_size=7))
+    got = np.asarray(multilevel_roi_align_rotated_fused(
+        feats, strides, rois, output_size=7, roi_chunk=16))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    feats16 = [f.astype(jnp.bfloat16) for f in feats]
+    want16 = np.asarray(multilevel_roi_align_rotated(
+        feats16, strides, rois, output_size=7))
+    got16 = np.asarray(multilevel_roi_align_rotated_fused(
+        feats16, strides, rois, output_size=7, roi_chunk=16))
+    np.testing.assert_allclose(got16, want16, rtol=1e-4, atol=1e-4)
+
+
 def test_clip_rotated_boxes_semantics():
     from slenderobjdet_tpu.models.proposal_generator.rrpn import (
         clip_rotated_boxes,
