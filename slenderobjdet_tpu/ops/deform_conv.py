@@ -27,12 +27,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# SLENDER_PAIR_GATHER=1 routes deform_sample_batched through the pair-table
-# gather (2 rows of 2C instead of 4 rows of C per sample — fp32-exact equal,
-# tests/test_deform_conv.py). Off by default pending the on-chip A/B
-# (tools/gather_probe.py; the axon tunnel was down when it was built —
-# see NOTES_NEXT_ROUND.md / tools/tpu_queue.sh).
+# SLENDER_PAIR_GATHER=1 routes deform_sample_batched through the pair-TABLE
+# gather (2 rows of 2C from a doubled table). Measured LOSS on-chip (0.78-
+# 0.91x, VALIDATION.md round-3): kept only as the record of the experiment.
 _PAIR_GATHER = os.environ.get("SLENDER_PAIR_GATHER", "0") == "1"
+# SLENDER_PAIRSLICE_GATHER=1 routes deform_sample_batched through the
+# pair-SLICE gather (2 dynamic-slice reads of (2, C) CONSECUTIVE rows of the
+# original table — no table build, half the descriptors of the 4-tap path).
+_PAIRSLICE_GATHER = os.environ.get("SLENDER_PAIRSLICE_GATHER", "0") == "1"
 
 
 def kernel_base_offsets(kernel_size: int = 3) -> np.ndarray:
@@ -150,6 +152,62 @@ def _gather_bilinear_pair_batched(feat: jnp.ndarray, ys: jnp.ndarray,
     return pair_row(y0, one - ly) + pair_row(y0 + 1, ly)
 
 
+def _gather_bilinear_pairslice_batched(feat: jnp.ndarray, ys: jnp.ndarray,
+                                       xs: jnp.ndarray):
+    """Same contract and boundary semantics as
+    _gather_bilinear_zeropad_batched, fetching the two horizontal taps of
+    each sample as ONE (2, C) dynamic-slice of CONSECUTIVE rows of the
+    original flat table.
+
+    Unlike the pair-TABLE variant above (which lost on-chip: its doubled
+    table costs a (B,H,W+1,2C) concat and its rows alias the cache lines the
+    4-tap path already exploits), this builds NO table: taps (y, x) and
+    (y, x+1) are adjacent rows of feat.reshape(B*H*W, C), so a 2-row slice
+    fetches both with one descriptor — half the gather descriptors and half
+    the fetched bytes (assuming a >= 2-row HBM read granule) at identical
+    memory cost. Measured 1.32x on the RoIAlign pattern at C=256
+    (tools/roi_gather_probe.py).
+
+    The pair start xp = clip(x0, 0, W-2) never crosses a feature row; which
+    pair column carries which tap (and the zero-outside semantics) is folded
+    into the two column weights via exact index-match indicators."""
+    b, h, w, c = feat.shape
+    y0f = jnp.floor(ys)
+    x0f = jnp.floor(xs)
+    ly = (ys - y0f)[..., None].astype(feat.dtype)
+    lx = (xs - x0f)[..., None].astype(feat.dtype)
+    one = jnp.ones((), feat.dtype)
+    y0 = y0f.astype(jnp.int32)
+    x0 = x0f.astype(jnp.int32)
+
+    flat = feat.reshape(b * h * w, c)
+    img_off = jnp.arange(b, dtype=jnp.int32).reshape(
+        (b,) + (1,) * (y0.ndim - 1)) * (h * w)
+
+    xp = jnp.clip(x0, 0, w - 2)
+    # pair column j holds feature column xp+j; tap x0 weighs (1-lx), tap
+    # x0+1 weighs lx; a tap outside [0, w) matches no pair column -> 0
+    def colw(j):
+        return ((one - lx) * ((x0 == xp + j)[..., None]).astype(feat.dtype)
+                + lx * ((x0 + 1 == xp + j)[..., None]).astype(feat.dtype))
+
+    w0 = colw(0)
+    w1 = colw(1)
+
+    def pair_row(yi, wy):
+        inside_y = ((yi >= 0) & (yi < h))[..., None].astype(feat.dtype)
+        idx = img_off + jnp.clip(yi, 0, h - 1) * w + xp
+
+        def g2(i):
+            return jax.lax.dynamic_slice(flat, (i, 0), (2, c))
+
+        pairs = jax.vmap(g2)(idx.reshape(-1)).reshape(*idx.shape, 2, c)
+        v = pairs[..., 0, :] * w0 + pairs[..., 1, :] * w1
+        return v * (wy * inside_y)
+
+    return pair_row(y0, one - ly) + pair_row(y0 + 1, ly)
+
+
 def _gather_bilinear_zeropad(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
     """Single-image wrapper of the batched flat gather (see above)."""
     return _gather_bilinear_zeropad_batched(
@@ -229,6 +287,8 @@ def deform_sample_batched(x, offsets):
         + offsets[..., 1]
     if _PAIR_GATHER:
         return _gather_bilinear_pair_batched(x, yy, xx)
+    if _PAIRSLICE_GATHER:
+        return _gather_bilinear_pairslice_batched(x, yy, xx)
     return _gather_bilinear_zeropad_batched(x, yy, xx)
 
 

@@ -126,3 +126,44 @@ def test_pair_gather_matches_flat(rng):
     a = _gather_bilinear_zeropad_batched(feat, jnp.asarray(ys), jnp.asarray(xs))
     b = _gather_bilinear_pair_batched(feat, jnp.asarray(ys), jnp.asarray(xs))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_pairslice_gather_matches_flat(rng):
+    """The pair-SLICE gather (2 dynamic-slices of (2, C) consecutive rows of
+    the original table) must agree with the 4-tap flat gather everywhere:
+    boundary and far-outside positions, exact-integer coordinates, and both
+    edge columns (where the pair start clamps)."""
+    from slenderobjdet_tpu.ops.deform_conv import (
+        _gather_bilinear_pairslice_batched,
+        _gather_bilinear_zeropad_batched,
+    )
+
+    B, H, W, C, K = 2, 9, 11, 4, 7
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    ys = np.concatenate(
+        [
+            rng.rand(B, H, W, K - 3).astype(np.float32) * (H + 6) - 3,
+            rng.randint(-3, H + 3, (B, H, W, 3)).astype(np.float32),
+        ],
+        axis=-1,
+    )
+    xs = np.concatenate(
+        [
+            rng.rand(B, H, W, K - 3).astype(np.float32) * (W + 6) - 3,
+            rng.randint(-3, W + 3, (B, H, W, 3)).astype(np.float32),
+        ],
+        axis=-1,
+    )
+    a = _gather_bilinear_zeropad_batched(feat, jnp.asarray(ys), jnp.asarray(xs))
+    b = _gather_bilinear_pairslice_batched(feat, jnp.asarray(ys),
+                                           jnp.asarray(xs))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # bf16 (production dtype) stays within one bf16 ulp of the 4-tap path
+    a16 = _gather_bilinear_zeropad_batched(
+        feat.astype(jnp.bfloat16), jnp.asarray(ys), jnp.asarray(xs))
+    b16 = _gather_bilinear_pairslice_batched(
+        feat.astype(jnp.bfloat16), jnp.asarray(ys), jnp.asarray(xs))
+    np.testing.assert_allclose(np.asarray(a16, np.float32),
+                               np.asarray(b16, np.float32),
+                               atol=0.05, rtol=0.05)
