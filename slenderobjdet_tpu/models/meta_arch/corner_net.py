@@ -28,6 +28,7 @@ import numpy as np
 
 from ...ops.corner_pool import br_pool, tl_pool
 from ...ops.nms import batched_nms
+from ...ops.topk import pair_top_k
 from ...structures import boxes as box_ops
 from ..backbones.hourglass import ConvBNRelu, build_hourglass_backbone
 
@@ -150,6 +151,7 @@ class CornerNet:
         self.stride = 4
         self.max_dets = cfg.TEST.DETECTIONS_PER_IMAGE
         self.topk_corners = 100
+        self.approx_topk = cfg.TPU.APPROX_TOPK
 
         spec = build_hourglass_backbone(cfg, dtype=dtype)
         self.backbone_spec = spec
@@ -258,10 +260,12 @@ class CornerNet:
             # 3x3 max-pool NMS
             pooled = nn.max_pool(p, (3, 3), strides=(1, 1), padding="SAME")
             p = jnp.where(p == pooled, p, 0.0)
-            flat = p.reshape(B, H * W * C)
-            scores, idx = jax.lax.top_k(flat, K)
-            cls = (idx % C).astype(jnp.int32)
-            loc = idx // C
+            # two-stage location-first top-k (ops.topk.pair_top_k):
+            # selection-identical to the flat (H*W*C) top_k but sorts K*C
+            # instead of H*W*C elements (the flat sort over ~2M elements
+            # dominated CornerNet decode; see VALIDATION.md round-3 notes)
+            scores, loc, cls = pair_top_k(
+                p.reshape(B, H * W, C), K, approx=self.approx_topk)
             iy = (loc // W).astype(jnp.float32)
             ix = (loc % W).astype(jnp.float32)
             t = jnp.take_along_axis(tag.reshape(B, H * W), loc, axis=1)

@@ -102,3 +102,30 @@ def test_small_level_exact_path():
     _, s, c, v = run_candidates(logits, reg, ctr, locations, top_n)
     for b in range(B):
         assert int(v[b].sum()) == len(ref[b])
+
+
+def test_corner_topk_matches_flat():
+    """The CornerNet corner selection (pair_top_k over the pool-NMS-masked
+    heatmap, models/meta_arch/corner_net.py) is selection-identical to the
+    flat (H*W*C) lax.top_k it replaced."""
+    from flax import linen as fnn
+
+    from slenderobjdet_tpu.ops.topk import pair_top_k
+
+    r = np.random.RandomState(3)
+    B, H, W, C, K = 2, 24, 36, 11, 50
+    heat = jnp.asarray(r.randn(B, H, W, C).astype(np.float32) * 2)
+    p = jax.nn.sigmoid(heat)
+    pooled = fnn.max_pool(p, (3, 3), strides=(1, 1), padding="SAME")
+    p = jnp.where(p == pooled, p, 0.0)
+
+    ref_scores, ref_idx = jax.lax.top_k(p.reshape(B, H * W * C), K)
+    scores, loc, cls = pair_top_k(p.reshape(B, H * W, C), K, approx=False)
+    flat_idx = loc * C + cls
+
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.sort(np.asarray(scores[b]))[::-1],
+            np.sort(np.asarray(ref_scores[b]))[::-1], rtol=1e-6)
+        assert set(np.asarray(flat_idx[b]).tolist()) == set(
+            np.asarray(ref_idx[b]).tolist())

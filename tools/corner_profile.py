@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--size", type=int, nargs=2, default=(512, 768))
+    ap.add_argument("--stages", action="store_true",
+                    help="bisect the decode (flat-top_k replica stages)")
     args = ap.parse_args()
     B, K = args.batch, args.reps
     H, W = args.size
@@ -90,6 +92,81 @@ def main():
     t_bb = timed(backbone_only, (bb_vars, img), K)
     t_fwd = timed(full_fwd, (variables, img), K)
     t_full = timed(full_predict, (variables, img), K)
+
+    # -------- decode stage bisection (mirrors CornerNet.predict internals;
+    # probe-only duplication to attribute the decode cost) --------
+    from flax import linen as fnn
+    from slenderobjdet_tpu.ops.nms import batched_nms
+
+    Kc = det.topk_corners
+
+    def corners_stage(z, variables, img, upto):
+        outs = det.module.apply(variables, img + z.astype(img.dtype))
+        (tl_heat, tl_tag, tl_off), (br_heat, br_tag, br_off) = outs[-1]
+        Bc, Hc, Wc, Cc = tl_heat.shape
+
+        def corners(heat, tag, off):
+            p = jax.nn.sigmoid(heat)
+            pooled = fnn.max_pool(p, (3, 3), strides=(1, 1), padding="SAME")
+            p = jnp.where(p == pooled, p, 0.0)
+            flat = p.reshape(Bc, Hc * Wc * Cc)
+            scores, idx = jax.lax.top_k(flat, Kc)
+            cls = (idx % Cc).astype(jnp.int32)
+            loc = idx // Cc
+            iy = (loc // Wc).astype(jnp.float32)
+            ix = (loc % Wc).astype(jnp.float32)
+            t = jnp.take_along_axis(tag.reshape(Bc, Hc * Wc), loc, axis=1)
+            o = jnp.take_along_axis(off.reshape(Bc, Hc * Wc, 2),
+                                    loc[..., None], axis=1)
+            x = (ix + o[..., 0]) * det.stride
+            y = (iy + o[..., 1]) * det.stride
+            return scores, cls, x, y, t
+
+        ts, tc, tx, ty, ttag = corners(tl_heat, tl_tag, tl_off)
+        bs, bc, bx, by, btag = corners(br_heat, br_tag, br_off)
+        if upto == "topk":
+            return ts, tc, tx, ty, ttag, bs, bc, bx, by, btag
+
+        score = (ts[:, :, None] + bs[:, None, :]) / 2
+        same = tc[:, :, None] == bc[:, None, :]
+        geom = (bx[:, None, :] > tx[:, :, None]) & (
+            by[:, None, :] > ty[:, :, None])
+        tagd = jnp.abs(ttag[:, :, None] - btag[:, None, :]) < 0.5
+        score = jnp.where(same & geom & tagd, score, 0.0)
+        flat_score = score.reshape(Bc, Kc * Kc)
+        k2 = min(det.max_dets * 4, Kc * Kc)
+        top, idx = jax.lax.top_k(flat_score, k2)
+        ti = idx // Kc
+        bi = idx % Kc
+        boxes = jnp.stack([
+            jnp.take_along_axis(tx, ti, 1), jnp.take_along_axis(ty, ti, 1),
+            jnp.take_along_axis(bx, bi, 1), jnp.take_along_axis(by, bi, 1),
+        ], axis=-1)
+        classes = jnp.take_along_axis(tc, ti, 1)
+        det_valid = top > 0.05
+        if upto == "pair":
+            return boxes, top, classes, det_valid
+
+        def one(bx_, sc, cl, vl):
+            keep_idx, keep_valid = batched_nms(bx_, sc, cl, 0.5,
+                                               det.max_dets, valid=vl)
+            return bx_[keep_idx], sc[keep_idx], cl[keep_idx], keep_valid
+
+        return jax.vmap(one)(boxes, top, classes, det_valid)
+
+    if args.stages:
+        t_topk = timed(lambda z, v, im: corners_stage(z, v, im, "topk"),
+                       (variables, img), K)
+        t_pair = timed(lambda z, v, im: corners_stage(z, v, im, "pair"),
+                       (variables, img), K)
+        t_nms = timed(lambda z, v, im: corners_stage(z, v, im, "nms"),
+                      (variables, img), K)
+        print(f"  decode stages (vs fwd {t_fwd * 1e3:.2f} ms; NOTE the"
+              " [..., :1] fetch lets XLA DCE differently per stage —"
+              " cross-check against the full-predict delta):")
+        print(f"    +corner topk   {(t_topk - t_fwd) * 1e3:8.2f} ms/batch")
+        print(f"    +pairing       {(t_pair - t_topk) * 1e3:8.2f} ms/batch")
+        print(f"    +NMS           {(t_nms - t_pair) * 1e3:8.2f} ms/batch")
 
     print(f"B={B} {H}x{W}:")
     print(f"  hourglass backbone {t_bb * 1e3:8.2f} ms  ({t_bb / B * 1e3:.2f} ms/img)")
