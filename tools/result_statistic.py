@@ -66,8 +66,17 @@ def main():
 
     results = evaluator.evaluate()
     for task, metrics in results.items():
+        # scalar metrics on one line; dict-valued entries (AP-per-category,
+        # AP-ratios) nested below, matching the evaluator's round-3 schema
+        scalars = {k: v for k, v in metrics.items()
+                   if isinstance(v, (int, float, np.floating, np.integer))}
         print(f"[{task}] " + ", ".join(
-            f"{k}={v:.3f}" for k, v in metrics.items()))
+            f"{k}={v:.3f}" for k, v in scalars.items()))
+        for k, v in metrics.items():
+            if isinstance(v, dict):
+                print(f"  {k}: " + ", ".join(
+                    f"{kk}={vv:.3f}" for kk, vv in v.items()
+                    if isinstance(vv, (int, float, np.floating, np.integer))))
 
     out = args.out or os.path.join(
         out_dir, os.path.splitext(os.path.basename(args.prediction))[0] + ".pkl")
