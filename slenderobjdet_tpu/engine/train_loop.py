@@ -93,10 +93,13 @@ def make_train_step(
     # Shardings are carried by the inputs themselves (state replicated via
     # parallel.replicate, batch leaves via parallel.shard_batch, per-step rng
     # replicated) — jit infers them, which permits mixed-layout batches
-    # (sharded tensors + replicated rng key).
+    # (sharded tensors + replicated rng key). The output STATE sharding is
+    # left to propagation so channel-sharded (tp) params stay sharded across
+    # steps (a replicated out_sharding would all-gather them after step 1);
+    # metrics are pinned replicated for the host-side fetch.
     repl = replicated(mesh)
     return jax.jit(
         train_step,
-        out_shardings=(repl, repl),
+        out_shardings=(None, repl),
         donate_argnums=(0,) if donate else (),
     )

@@ -38,9 +38,12 @@ def default_setup(cfg, args=None):
         format="%(asctime)s %(name)s %(levelname)s: %(message)s",
     )
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
-    with open(os.path.join(cfg.OUTPUT_DIR, "config.yaml"), "w") as f:
-        f.write(cfg.dump())
-    logger.info("running with %d devices: %s", len(jax.devices()), jax.devices())
+    if jax.process_index() == 0:  # rank-0 config dump (reference defaults.py)
+        with open(os.path.join(cfg.OUTPUT_DIR, "config.yaml"), "w") as f:
+            f.write(cfg.dump())
+    logger.info("process %d/%d, %d local / %d global devices",
+                jax.process_index(), jax.process_count(),
+                jax.local_device_count(), len(jax.devices()))
     if cfg.SEED >= 0:
         np.random.seed(cfg.SEED)
 
@@ -138,9 +141,7 @@ class BaseTrainer:
             step_rng = jax.random.fold_in(rng_base, i)
             if self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)
-                from ..parallel import replicated
-
-                step_rng = jax.device_put(step_rng, replicated(self.mesh))
+                step_rng = replicate(step_rng, self.mesh)
             # per-step key for in-graph sampling (RPN/ROI subsampling)
             batch["rng"] = step_rng
             data_time = time.perf_counter() - data_t0
@@ -162,9 +163,14 @@ class BaseTrainer:
 
             if (i + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or (i + 1) == self.max_iter:
                 # non-blocking: the host fetch + write overlap the next
-                # device steps; has_checkpoint/load join the in-flight save
-                self.checkpointer.save(f"model_{i + 1:07d}", self.state,
-                                       blocking=(i + 1) == self.max_iter)
+                # device steps; has_checkpoint/load join the in-flight save.
+                # Main-process-only, like the reference's rank-0
+                # PeriodicCheckpointer (engine/defaults.py:121)
+                from ..parallel.multihost import is_main_process
+
+                if is_main_process():
+                    self.checkpointer.save(f"model_{i + 1:07d}", self.state,
+                                           blocking=(i + 1) == self.max_iter)
             if cfg.TEST.EVAL_PERIOD > 0 and (i + 1) % cfg.TEST.EVAL_PERIOD == 0:
                 self.test()
             data_t0 = time.perf_counter()
@@ -185,7 +191,11 @@ class BaseTrainer:
                 # stats as the plain average over NUM_ITER fresh train
                 # batches right before eval (and keep them, so the next
                 # checkpoint carries the precise stats)
-                loader = iter(build_detection_train_loader(cfg, seed=1))
+                # unsharded (num_shards=1): every process recomputes the
+                # SAME stats over the same images, so multi-process eval
+                # stays consistent without a buffer broadcast
+                loader = iter(build_detection_train_loader(
+                    cfg, seed=1, shard_id=0, num_shards=1))
                 n = max(1, cfg.TEST.PRECISE_BN.NUM_ITER)
                 images = (next(loader)["image"] for _ in range(n))
                 buffers = precise_bn_stats(

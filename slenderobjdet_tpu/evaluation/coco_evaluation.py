@@ -88,7 +88,27 @@ class COCOEvaluator:
                 {"image_id": int(image_id), "instances": instances}
             )
 
+    def _gather_predictions(self) -> bool:
+        """Cross-process prediction gather (reference `comm.gather`,
+        `slender_det/evaluation/coco_evaluation.py:81-87`). Returns True on
+        the process that should compute metrics (main), False elsewhere —
+        non-main processes contribute their predictions and return empty
+        results, matching the reference's rank!=0 behavior."""
+        import jax
+
+        if jax.process_count() > 1:
+            from ..parallel.multihost import all_gather_objects, is_main_process
+
+            gathered = all_gather_objects(self._predictions)
+            if not is_main_process():
+                self._predictions = []
+                return False
+            self._predictions = [p for preds in gathered for p in preds]
+        return True
+
     def evaluate(self) -> "OrderedDict[str, Dict[str, float]]":
+        if not self._gather_predictions():
+            return OrderedDict()
         results: OrderedDict = OrderedDict()
         coco_results = [
             inst for pred in self._predictions for inst in pred["instances"]
@@ -262,6 +282,15 @@ class COCOEvaluatorWithAnchors(COCOEvaluator):
             })
 
     def evaluate(self):
+        import jax
+
+        if jax.process_count() > 1:
+            from ..parallel.multihost import all_gather_objects, is_main_process
+
+            gathered = all_gather_objects(self._proposals)
+            self._proposals = (
+                [p for ps in gathered for p in ps] if is_main_process() else []
+            )
         results = super().evaluate()
         if self._output_dir and self._proposals:
             import pickle

@@ -118,6 +118,18 @@ class RotatedCOCOEvaluator:
             )
 
     def evaluate(self):
+        import jax
+
+        if jax.process_count() > 1:
+            # cross-process prediction gather (reference comm.gather,
+            # coco_evaluation.py:81-87); non-main returns empty
+            from ..parallel.multihost import all_gather_objects, is_main_process
+
+            gathered = all_gather_objects(self._predictions)
+            if not is_main_process():
+                self._predictions = []
+                return OrderedDict()
+            self._predictions = [p for ps in gathered for p in ps]
         results: OrderedDict = OrderedDict()
         coco_results = [
             i for p in self._predictions for i in p["instances"]

@@ -6,6 +6,14 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .multihost import (
+    all_gather_objects,
+    is_main_process,
+    process_count,
+    process_index,
+    put_global,
+    sync_processes,
+)
 
 __all__ = [
     "batch_sharding",
@@ -14,4 +22,10 @@ __all__ = [
     "replicate",
     "replicated",
     "shard_batch",
+    "all_gather_objects",
+    "is_main_process",
+    "process_count",
+    "process_index",
+    "put_global",
+    "sync_processes",
 ]

@@ -67,19 +67,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Place every batch leaf with its leading axis sharded over 'data';
     the image additionally shards its height over 'spatial' (no-op on
-    spatial=1 meshes)."""
+    spatial=1 meshes).
+
+    Multi-process: `batch` is this process's LOCAL batch (leading dim =
+    global batch / process_count); `put_global` assembles the global arrays
+    from the per-process shards (`jax.make_array_from_process_local_data`),
+    so under a `jax.distributed` run each host only ever materializes its
+    own images — the counterpart of the reference's per-rank DataLoader
+    shards (`slender_det/engine/defaults.py:66` per-rank seeding)."""
+    from .multihost import put_global
+
     sh = batch_sharding(mesh)
     im = image_sharding(mesh) if mesh.shape.get("spatial", 1) > 1 else sh
     return {
         k: jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, im if k == "image" else sh), v)
+            lambda x: put_global(x, im if k == "image" else sh), v)
         for k, v in batch.items()
     }
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
+    from .multihost import put_global
+
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(lambda x: put_global(x, sh), tree)
 
 
 def channel_sharded_params(params: Any, mesh: Mesh,

@@ -161,3 +161,40 @@ def test_multiprocess_train_loader(synth_dataset):
         batch = next(it)
         assert batch["image"].shape[0] == cfg.SOLVER.IMS_PER_BATCH
         assert np.isfinite(batch["gt_boxes"]).all()
+
+
+def test_train_loader_sharded_union_is_global_batch(synth_dataset):
+    """Multi-process loader contract: the shard loaders' rows, concatenated
+    in shard order, reproduce the single-loader global batch EXACTLY (same
+    membership, same padded shape, same mapped pixels/gt) — each process
+    maps only its local_bs slice but every process agrees on global batch
+    composition (slenderobjdet_tpu/data/build.py sharded_gen)."""
+    cfg = small_cfg()
+    cfg.DATASETS.TRAIN = (synth_dataset,)
+    cfg.SOLVER.IMS_PER_BATCH = 4
+
+    # explicit num_shards=1 through the SAME sharded path is not available
+    # (num_shards==1 takes the local path), so the reference point is the
+    # 2-shard layout vs the 4-shard layout: both must assemble to the same
+    # global batches.
+    def rows(num_shards):
+        per = 4 // num_shards
+        its = [iter(build_detection_train_loader(
+            cfg, seed=7, shard_id=s, num_shards=num_shards))
+            for s in range(num_shards)]
+        out = []
+        for _ in range(3):  # 3 global batches
+            parts = [next(it) for it in its]
+            out.append({
+                k: np.concatenate([p[k] for p in parts], axis=0)
+                for k in parts[0]
+            })
+            assert all(p["image"].shape[0] == per for p in parts)
+        return out
+
+    g2 = rows(2)
+    g4 = rows(4)
+    for b2, b4 in zip(g2, g4):
+        assert set(b2) == set(b4)
+        for k in b2:
+            np.testing.assert_array_equal(b2[k], b4[k], err_msg=k)
