@@ -260,10 +260,14 @@ class CornerNet:
             # 3x3 max-pool NMS
             pooled = nn.max_pool(p, (3, 3), strides=(1, 1), padding="SAME")
             p = jnp.where(p == pooled, p, 0.0)
-            # two-stage location-first top-k (ops.topk.pair_top_k):
-            # selection-identical to the flat (H*W*C) top_k but sorts K*C
-            # instead of H*W*C elements (the flat sort over ~2M elements
-            # dominated CornerNet decode; see VALIDATION.md round-3 notes)
+            # two-stage location-first top-k (ops.topk.pair_top_k): sorts
+            # K*C instead of H*W*C elements (the flat sort over ~2M elements
+            # dominated CornerNet decode; VALIDATION.md round-3 notes).
+            # With approx=False the selection is IDENTICAL to the flat
+            # (H*W*C) top_k; with approx=True (TPU.APPROX_TOPK default) both
+            # stages use approx_max_k (recall 0.99/stage) — corner-set
+            # recall vs exact is asserted >= 0.97 in
+            # tests/test_model_cornernet.py::test_corner_decode_approx_recall
             scores, loc, cls = pair_top_k(
                 p.reshape(B, H * W, C), K, approx=self.approx_topk)
             iy = (loc // W).astype(jnp.float32)

@@ -21,7 +21,10 @@ import numpy as np
 
 from ...ops.losses import smooth_l1_loss
 from ...ops.nms import batched_nms
-from ...ops.roi_align import multilevel_roi_align, multilevel_roi_align_fused
+from ...ops.roi_align import (
+    multilevel_roi_align_fused,
+    multilevel_roi_align_train,
+)
 from ...structures import boxes as box_ops
 from ..matchers import iou_matcher
 from ..sampling import subsample_labels
@@ -109,7 +112,11 @@ def sample_proposals(
     )
     selected = sel_pos | sel_neg
 
-    # pack selected rows to the front (stable: keeps random-selection order)
+    # pack selected rows to the front (stable: keeps random-selection order).
+    # A config may offer fewer candidates than num_samples (e.g. small
+    # POST_NMS_TOPK_TRAIN): clamp — subsample_labels can then have selected
+    # at most `candidates` rows, so no valid row is dropped.
+    num_samples = min(num_samples, proposals.shape[0])
     order = jnp.argsort(jnp.where(selected, 0, 1), stable=True)
     rows = order[:num_samples]
     row_valid = jnp.arange(num_samples) < jnp.sum(selected)
@@ -155,15 +162,16 @@ class StandardROIHeads:
              fused: bool = False):
         """feats: list of (H,W,C) for ONE image; rois (R,4).
 
-        fused=True (inference) uses the single-gather flattened-level pooler
-        (4x fewer gathered bytes, numerically identical); training keeps the
-        all-level path whose custom VJP is two MXU matmuls.
+        Both paths use the single-gather flattened-level pooler (4x fewer
+        gathered bytes than pool-every-level-and-select, numerically
+        identical). fused=False (training) adds the custom VJP whose
+        feature adjoint is the per-level separable MXU-matmul pair
+        (ops/roi_align.py multilevel_roi_align_train).
 
-        Memory note: the bilinear gather materializes 4 tap tensors of
-        (chunk, P*S*P*S, C) per level; ops.roi_align chunks the rois via
-        lax.map so the transient stays bounded (unchunked, batch 8 x 512
-        rois x 4 levels exceeded HBM)."""
-        fn = multilevel_roi_align_fused if fused else multilevel_roi_align
+        Memory note: rois are chunked via lax.map so the gathered transient
+        stays bounded (unchunked, batch 8 x 512 rois x 4 levels exceeded
+        HBM)."""
+        fn = multilevel_roi_align_fused if fused else multilevel_roi_align_train
         return fn(
             feats_per_image, self.strides, rois,
             output_size=self.pooler_resolution,

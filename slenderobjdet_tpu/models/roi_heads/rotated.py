@@ -67,6 +67,8 @@ def sample_rotated_proposals(
     )
     selected = sel_pos | sel_neg
 
+    # clamp to the candidate count (see roi_heads.sample_proposals)
+    num_samples = min(num_samples, proposals.shape[0])
     order = jnp.argsort(jnp.where(selected, 0, 1), stable=True)
     rows = order[:num_samples]
     row_valid = jnp.arange(num_samples) < jnp.sum(selected)

@@ -263,6 +263,141 @@ def multilevel_roi_align_fused(
                                   canonical_level, roi_chunk)
 
 
+def multilevel_roi_align_train(
+    feats: Sequence[jnp.ndarray],     # list of (H_l, W_l, C), one image
+    strides: Sequence[int],
+    rois: jnp.ndarray,                # (N, 4) image coords
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    canonical_level: int = 4,
+    roi_chunk: int = 128,
+) -> jnp.ndarray:
+    """Fused single-gather multilevel RoIAlign for TRAINING.
+
+    Forward: the single-gather flattened-level pooler (same math as
+    `multilevel_roi_align_fused` — each roi's taps index only its assigned
+    level, ~4x fewer gathered bytes than the pool-every-level-and-select
+    path). Backward: custom VJP — per level, the feature gradient is the
+    separable MATMUL adjoint einsum(Wy_l, dPooled*mask_l, Wx_l), exactly the
+    adjoint the select path computes through `roi_align`'s VJP, so training
+    gets the fused forward at identical backward cost (VERDICT r3 next #3a;
+    reference trains all R-CNN configs, train_net.py:188-195).
+
+    Wrapping order: custom_vjp INSIDE the roi chunking (per-chunk cores
+    under lax.map), mirroring `roi_align`; padded chunk rows receive zero
+    cotangent and level-masked weights, so they contribute nothing."""
+    P, S = output_size, sampling_ratio
+    min_level = int(np.log2(strides[0]))
+    max_level = int(np.log2(strides[-1]))
+    shapes = [(int(f.shape[0]), int(f.shape[1])) for f in feats]
+    C = feats[0].shape[-1]
+    feat_dtype = feats[0].dtype
+    heights = np.asarray([h for h, _ in shapes], np.int32)
+    widths = np.asarray([w for _, w in shapes], np.int32)
+    row_off = np.concatenate(
+        [[0], np.cumsum(heights.astype(np.int64) * widths)[:-1]]
+    ).astype(np.int32)
+    inv_scale = np.asarray([1.0 / s for s in strides], np.float32)
+
+    @jax.custom_vjp
+    def core(flat, rois_c):
+        return _fused_core_fwd(flat, rois_c)
+
+    def _fused_core_fwd(flat, rois_c):
+        lvl = assign_fpn_levels(rois_c, min_level, max_level,
+                                canonical_level=canonical_level) - min_level
+        h_c = jnp.asarray(heights)[lvl]
+        w_c = jnp.asarray(widths)[lvl]
+        off_c = jnp.asarray(row_off)[lvl]
+        sc_c = jnp.asarray(inv_scale)[lvl]
+
+        yy, xx = _fused_sample_grid(rois_c, sc_c, P, S)
+        y0 = jnp.floor(yy)
+        x0 = jnp.floor(xx)
+        ly = yy - y0
+        lx = xx - x0
+        hb = (h_c - 1)[:, None, None, None, None]
+        wb = (w_c - 1)[:, None, None, None, None]
+        y0 = jnp.clip(y0.astype(jnp.int32), 0, hb)
+        x0 = jnp.clip(x0.astype(jnp.int32), 0, wb)
+        y1i = jnp.minimum(y0 + 1, hb)
+
+        xp = jnp.clip(x0, 0, jnp.maximum(wb - 1, 0))
+        at_border = x0 > xp
+        wx = lx[..., None]
+        w_left = jnp.where(at_border[..., None], 0.0, 1.0 - wx)
+        w_right = jnp.where(at_border[..., None], 1.0, wx)
+
+        base = off_c[:, None, None, None, None]
+        wrow = w_c[:, None, None, None, None]
+        top_rows = (base + y0 * wrow + xp).reshape(-1)
+        bot_rows = (base + y1i * wrow + xp).reshape(-1)
+
+        def g2(i):
+            return jax.lax.dynamic_slice(flat, (i, 0), (2, C))
+
+        shp = y0.shape + (2, C)
+        top = jax.vmap(g2)(top_rows).reshape(shp)
+        bot = jax.vmap(g2)(bot_rows).reshape(shp)
+        vt = top[..., 0, :] * w_left + top[..., 1, :] * w_right
+        vb = bot[..., 0, :] * w_left + bot[..., 1, :] * w_right
+        wy = ly[..., None]
+        samples = vt * (1 - wy) + vb * wy
+        return samples.mean(axis=(2, 4))                    # (n,P,P,C)
+
+    def fwd(flat, rois_c):
+        return _fused_core_fwd(flat, rois_c), rois_c
+
+    def bwd(rois_c, g):
+        lvl = assign_fpn_levels(rois_c, min_level, max_level,
+                                canonical_level=canonical_level) - min_level
+        mul_dtype = (jnp.bfloat16 if feat_dtype == jnp.bfloat16
+                     else jnp.float32)
+        grads = []
+        for l, ((H, W), stride) in enumerate(zip(shapes, strides)):
+            mask = (lvl == l).astype(mul_dtype)
+            ys, xs = _sample_grid(rois_c, 1.0 / stride, P, S)
+            wy = _bin_weight_matrix(ys, H, S) * mask[:, None, None]
+            wx = _bin_weight_matrix(xs, W, S)
+            t = jnp.einsum("npqc,nqw->npwc", g.astype(mul_dtype),
+                           wx.astype(mul_dtype),
+                           preferred_element_type=mul_dtype)
+            gf = jnp.einsum("nph,npwc->hwc", wy.astype(mul_dtype), t,
+                            preferred_element_type=jnp.float32)
+            grads.append(gf.reshape(H * W, C))
+        return (jnp.concatenate(grads, axis=0).astype(feat_dtype),
+                jnp.zeros_like(rois_c))
+
+    core.defvjp(fwd, bwd)
+
+    flat = jnp.concatenate([f.reshape(-1, C) for f in feats], axis=0)
+    n = rois.shape[0]
+    if n > roi_chunk:
+        pad = (-n) % roi_chunk
+        m = (n + pad) // roi_chunk
+        chunks = jnp.pad(rois, ((0, pad), (0, 0))).reshape(m, roi_chunk, 4)
+        out = jax.lax.map(lambda r: core(flat, r), chunks)
+        return out.reshape(n + pad, P, P, C)[:n]
+    return core(flat, rois)
+
+
+def _fused_sample_grid(rois_c, sc_c, P, S):
+    """aligned=True sample grid at the per-roi (assigned-level) scale; same
+    float math as `_sample_grid`, broadcast to the full (n,P,S,P,S) grid."""
+    r = rois_c * sc_c[:, None]
+    x1 = r[:, 0] - 0.5
+    y1 = r[:, 1] - 0.5
+    roi_w = r[:, 2] - 0.5 - x1
+    roi_h = r[:, 3] - 0.5 - y1
+    ps = (jnp.arange(P)[:, None] + (jnp.arange(S)[None, :] + 0.5) / S)
+    ys = y1[:, None, None] + ps[None] * (roi_h / P)[:, None, None]
+    xs = x1[:, None, None] + ps[None] * (roi_w / P)[:, None, None]
+    n = rois_c.shape[0]
+    yy = jnp.broadcast_to(ys[:, :, :, None, None], (n, P, S, P, S))
+    xx = jnp.broadcast_to(xs[:, None, None, :, :], (n, P, S, P, S))
+    return yy, xx
+
+
 def _fused_multilevel_pool(feats, strides, rois, sample_grid, output_size,
                            sampling_ratio, canonical_level, roi_chunk):
     """Shared engine of the fused poolers: flatten all levels into one row

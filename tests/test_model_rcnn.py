@@ -73,3 +73,33 @@ def test_rcnn_predict_shapes(tiny_rcnn):
     assert np.isfinite(np.asarray(out["proposals"])).all()
     # untrained RPN still proposes (objectness random) - proposals valid
     assert int(np.asarray(out["proposal_valid"]).sum()) > 0
+
+
+def test_rcnn_fewer_candidates_than_roi_batch():
+    """BATCH_SIZE_PER_IMAGE may exceed the candidate pool
+    (POST_NMS_TOPK_TRAIN + padded gt): sample_proposals must clamp instead
+    of emitting mismatched rows/row_valid shapes (regression: broadcast
+    error at roi_heads.py sample_proposals with POST_NMS_TOPK_TRAIN=32,
+    batch 64)."""
+    from conftest import make_tiny_cfg
+
+    cfg = make_tiny_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "ProposalVisibleRCNN"
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32], [64], [128], [256], [512]]
+    cfg.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    cfg.MODEL.ROI_HEADS.IOU_THRESHOLDS = [0.5]
+    cfg.MODEL.ROI_HEADS.IOU_LABELS = [0, 1]
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 64   # > 32 + 8 gt rows
+    cfg.freeze()
+    det = build_model(cfg)
+    variables = det.init_variables(jax.random.PRNGKey(0))
+    batch = make_batch()
+    batch["rng"] = jax.random.PRNGKey(3)
+    total, metrics = jax.jit(det.loss)(variables, batch)
+    assert np.isfinite(float(total))

@@ -1,3 +1,4 @@
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -175,3 +176,48 @@ def test_fused_matches_all_level_path(rng):
     got1 = np.asarray(multilevel_roi_align_fused(
         feats, strides, rois, output_size=7, roi_chunk=64))
     np.testing.assert_allclose(got1, want, rtol=1e-5, atol=1e-6)
+
+
+def test_train_pooler_forward_and_grad_match_select_path(rng):
+    """multilevel_roi_align_train (fused forward + custom VJP) must match
+    the pool-every-level-and-select path in BOTH directions: same pooled
+    values (fp reassociation tolerance) and the same feature gradient —
+    its per-level masked separable-matmul adjoint is algebraically the
+    adjoint the select path computes through roi_align's VJP."""
+    from slenderobjdet_tpu.ops.roi_align import multilevel_roi_align_train
+
+    strides = [4, 8, 16, 32]
+    shapes = [(64 // s, 80 // s) for s in strides]
+    feats = [jnp.asarray(rng.rand(h, w, 6).astype(np.float32))
+             for h, w in shapes]
+    n = 37
+    x1 = rng.rand(n) * 100
+    y1 = rng.rand(n) * 80
+    w = rng.rand(n) * 500 + 4
+    h = rng.rand(n) * 500 + 4
+    rois = jnp.asarray(np.stack([x1, y1, x1 + w, y1 + h], 1).astype(np.float32))
+    cot = jnp.asarray(rng.rand(n, 7, 7, 6).astype(np.float32))
+
+    want = np.asarray(multilevel_roi_align(feats, strides, rois, output_size=7))
+    got = np.asarray(multilevel_roi_align_train(
+        feats, strides, rois, output_size=7, roi_chunk=16))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    g_want = jax.grad(lambda fs: jnp.sum(multilevel_roi_align(
+        fs, strides, rois, output_size=7) * cot))(feats)
+    g_got = jax.grad(lambda fs: jnp.sum(multilevel_roi_align_train(
+        fs, strides, rois, output_size=7, roi_chunk=16) * cot))(feats)
+    for a, b, s in zip(g_got, g_want, strides):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"stride {s}")
+
+    # unchunked core too
+    got1 = np.asarray(multilevel_roi_align_train(
+        feats, strides, rois, output_size=7, roi_chunk=64))
+    np.testing.assert_allclose(got1, want, rtol=1e-5, atol=1e-6)
+    g1 = jax.grad(lambda fs: jnp.sum(multilevel_roi_align_train(
+        fs, strides, rois, output_size=7, roi_chunk=64) * cot))(feats)
+    for a, b in zip(g1, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
