@@ -163,7 +163,11 @@ def main():
                       (variables, img), K)
         print(f"  decode stages (vs fwd {t_fwd * 1e3:.2f} ms; NOTE the"
               " [..., :1] fetch lets XLA DCE differently per stage —"
-              " cross-check against the full-predict delta):")
+              " cross-check against the full-predict delta. NOTE also:"
+              " '+corner topk' replicates the PRE-round-3 flat H*W*C"
+              " lax.top_k, NOT current predict's pair_top_k — it is the"
+              " before side of that A/B; 'full predict' times the real"
+              " path):")
         print(f"    +corner topk   {(t_topk - t_fwd) * 1e3:8.2f} ms/batch")
         print(f"    +pairing       {(t_pair - t_topk) * 1e3:8.2f} ms/batch")
         print(f"    +NMS           {(t_nms - t_pair) * 1e3:8.2f} ms/batch")
