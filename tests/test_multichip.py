@@ -172,3 +172,75 @@ def test_trainer_spatial_partitioning(tmp_path):
     assert trainer.mesh is not None and trainer.mesh.shape["spatial"] == 2
     state = trainer.train()
     assert int(np.asarray(jax.device_get(state.step))) == 2
+
+
+def test_spatial_partitioning_hlo_guard():
+    """Compile (not run) the train step at the REAL eval shape 800x1344 on a
+    (data=1, model=1, spatial=8) mesh and assert the partitioned HLO is
+    halo-exchange-based: collective-permutes present, and every all-gather
+    small (head-reshape edges), i.e. NO full-activation all-gathers — the
+    failure mode where GSPMD silently de-shards the backbone (a full stem
+    activation at this shape is ~275 MB; the guard allows <= 8 MB).
+
+    Measured on this probe (fp32 CPU lowering, VALIDATION.md round 4):
+    ~492 collective-permutes totalling 46.4 MB/step + 4.9 MB of all-gathers
+    (max single 1.51 MB) — sub-millisecond on v5e ICI.
+    """
+    import re
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from __graft_entry__ import _flagship_cfg
+    from slenderobjdet_tpu.engine.train_loop import TrainState, make_train_step
+    from slenderobjdet_tpu.models import build_model
+    from slenderobjdet_tpu.parallel import make_mesh, replicate, shard_batch
+
+    cfg = _flagship_cfg(tiny=True)
+    det = build_model(cfg)
+    H, W, B, G = 800, 1344, 1, 8
+    variables = det.init_variables(jax.random.PRNGKey(0), (H, W), B)
+    tx = optax.sgd(0.01)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        buffers=variables.get("buffers", {}),
+        opt_state=tx.init(variables["params"]))
+    r = np.random.RandomState(0)
+    xy = r.rand(B, G, 2).astype(np.float32) * 300
+    wh = r.rand(B, G, 2).astype(np.float32) * 100 + 8
+    batch = {
+        "image": r.randint(0, 255, (B, H, W, 3)).astype(np.uint8),
+        "gt_boxes": np.concatenate([xy, xy + wh], axis=2),
+        "gt_classes": r.randint(0, 80, (B, G)).astype(np.int32),
+        "gt_valid": np.ones((B, G), bool),
+    }
+    mesh = make_mesh(data=1, model=1, spatial=8, devices=jax.devices()[:8])
+    step = make_train_step(det, tx, mesh=mesh, donate=False)
+    txt = step.lower(replicate(state, mesh),
+                     shard_batch(batch, mesh)).compile().as_text()
+
+    sizes = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "s8": 1,
+             "u8": 1, "pred": 1, "f64": 8, "s64": 8, "u64": 8}
+
+    def result_bytes(line, op):
+        s = line.strip().lstrip("%")
+        m = re.match(rf"[\w.\-]*{op}[\w.\-]* = (\w+)\[([\d,]*)\]", s)
+        if not m or f"{op}(" not in s:
+            return None
+        n = 1
+        for d in m.group(2).split(","):
+            if d:
+                n *= int(d)
+        return n * sizes.get(m.group(1), 4)
+
+    cp = [b for b in (result_bytes(l, "collective-permute")
+                      for l in txt.splitlines()) if b is not None]
+    ag = [b for b in (result_bytes(l, "all-gather")
+                      for l in txt.splitlines()) if b is not None]
+    assert len(cp) > 0, "no halo exchanges — spatial axis not partitioned?"
+    assert not ag or max(ag) <= 8 * 2 ** 20, (
+        f"full-activation all-gather: max {max(ag) / 2**20:.1f} MiB")
+    total_mb = (sum(cp) + sum(ag)) / 1e6
+    assert total_mb < 200, f"spatial comm blew up: {total_mb:.0f} MB/step"
