@@ -35,6 +35,9 @@ _PAIR_GATHER = os.environ.get("SLENDER_PAIR_GATHER", "0") == "1"
 # pair-SLICE gather (2 dynamic-slice reads of (2, C) CONSECUTIVE rows of the
 # original table — no table build, half the descriptors of the 4-tap path).
 _PAIRSLICE_GATHER = os.environ.get("SLENDER_PAIRSLICE_GATHER", "0") == "1"
+# SLENDER_DEFORM_AUTODIFF_VJP=1 restores plain autodiff through the gather
+# (the A/B "before" side of the custom VJP below).
+_AUTODIFF_VJP = os.environ.get("SLENDER_DEFORM_AUTODIFF_VJP", "0") == "1"
 
 
 def kernel_base_offsets(kernel_size: int = 3) -> np.ndarray:
@@ -49,6 +52,29 @@ def kernel_base_offsets(kernel_size: int = 3) -> np.ndarray:
 
 def _gather_bilinear_zeropad_batched(feat: jnp.ndarray, ys: jnp.ndarray,
                                      xs: jnp.ndarray):
+    """Bilinear gather with a custom VJP (see _gather_impl for the forward
+    formulation and the round-3 A/B record).
+
+    Why a custom VJP (VERDICT r3 #3b): under plain autodiff JAX saves the
+    FOUR weighted tap tensors (B, ..., C) as residuals for the backward —
+    at RepPoints production shapes (8, 100, 168, 9, 512) that is 4 x 2.05
+    GB live across the whole train step, which OOMed the B=8 train bench
+    (18.2 G > 15.75 G HBM). The custom backward saves only (feat, ys, xs)
+    and RECOMPUTES the taps:
+
+    - d(ys)/d(xs): one extra 4-tap gather (same bytes as forward) and the
+      exact finite bilinear derivative, accumulated over C in fp32
+      (autodiff's bf16 products fp32-summed match to rounding).
+    - d(feat): the gather transpose — 4 scatter-adds of w_tap * g into the
+      flat (B*H*W, C) table, exactly the scatter XLA's transpose emits, so
+      gradients are bit-comparable while the residual memory is gone.
+    """
+    if _AUTODIFF_VJP:
+        return _gather_impl(feat, ys, xs)
+    return _gather_core(feat, ys, xs)
+
+
+def _gather_impl(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
     """feat (B, H, W, C); ys/xs (B, ...) -> (B, ..., C); zero outside.
 
     TPU formulation (round-3 A/B measurements on the chip, VALIDATION.md):
@@ -72,13 +98,20 @@ def _gather_bilinear_zeropad_batched(feat: jnp.ndarray, ys: jnp.ndarray,
 
     The gather runs in feat's OWN dtype (bf16 halves the traffic) and the
     interpolation weights are applied in that dtype too — the following MXU
-    matmul accumulates in fp32."""
+    matmul accumulates in fp32.
+
+    Layout: ALL intermediate math is flat (N, C) with N = B*prod(sample
+    dims) — a (B, H, W, K, C) intermediate with K=9 second-minor pads
+    9 -> 16 sublanes (1.8x memory) under the TPU tiled layout, and the four
+    tap temps at RepPoints B=8 production shapes cost 4 x 2.05 GB padded vs
+    4 x 1.15 GB flat (the difference OOMed the train step). Only the
+    returned tensor takes the caller's shape."""
     b, h, w, c = feat.shape
     y0f = jnp.floor(ys)
     x0f = jnp.floor(xs)
-    ly = (ys - y0f)[..., None].astype(feat.dtype)
-    lx = (xs - x0f)[..., None].astype(feat.dtype)
     one = jnp.ones((), feat.dtype)
+    ly = (ys - y0f).reshape(-1, 1).astype(feat.dtype)
+    lx = (xs - x0f).reshape(-1, 1).astype(feat.dtype)
     y0 = y0f.astype(jnp.int32)
     x0 = x0f.astype(jnp.int32)
 
@@ -87,19 +120,90 @@ def _gather_bilinear_zeropad_batched(feat: jnp.ndarray, ys: jnp.ndarray,
         (b,) + (1,) * (y0.ndim - 1)) * (h * w)
 
     def tap(yi, xi, wgt):
-        inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        inside = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+                  ).reshape(-1, 1).astype(feat.dtype)
         idx = (jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
                + img_off)
-        vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
-            *idx.shape, c)
-        return vals * (wgt * inside[..., None].astype(feat.dtype))
+        vals = jnp.take(flat, idx.reshape(-1), axis=0)       # (N, C)
+        return vals * (wgt * inside)
 
-    return (
+    out = (
         tap(y0, x0, (one - ly) * (one - lx))
         + tap(y0, x0 + 1, (one - ly) * lx)
         + tap(y0 + 1, x0, ly * (one - lx))
         + tap(y0 + 1, x0 + 1, ly * lx)
     )
+    return out.reshape(*ys.shape, c)
+
+
+@jax.custom_vjp
+def _gather_core(feat, ys, xs):
+    return _gather_impl(feat, ys, xs)
+
+
+def _gather_fwd(feat, ys, xs):
+    return _gather_impl(feat, ys, xs), (feat, ys, xs)
+
+
+def _gather_bwd(res, g):
+    # flat (N, C) math throughout — see _gather_impl's layout note
+    feat, ys, xs = res
+    b, h, w, c = feat.shape
+    y0f = jnp.floor(ys)
+    x0f = jnp.floor(xs)
+    one = jnp.ones((), feat.dtype)
+    ly = (ys - y0f).reshape(-1, 1).astype(feat.dtype)
+    lx = (xs - x0f).reshape(-1, 1).astype(feat.dtype)
+    y0 = y0f.astype(jnp.int32)
+    x0 = x0f.astype(jnp.int32)
+
+    flat = feat.reshape(b * h * w, c)
+    img_off = jnp.arange(b, dtype=jnp.int32).reshape(
+        (b,) + (1,) * (y0.ndim - 1)) * (h * w)
+
+    def tap(yi, xi):
+        inside = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+                  ).reshape(-1, 1).astype(feat.dtype)
+        idx = ((jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+                + img_off)).reshape(-1)
+        vals = jnp.take(flat, idx, axis=0)                   # (N, C)
+        return vals * inside, idx, inside
+
+    u00, i00, m00 = tap(y0, x0)
+    u01, i01, m01 = tap(y0, x0 + 1)
+    u10, i10, m10 = tap(y0 + 1, x0)
+    u11, i11, m11 = tap(y0 + 1, x0 + 1)
+
+    # offset grads: exact bilinear derivative, fp32 accumulation over C
+    # (u terms already carry the zero-outside mask)
+    g32 = g.reshape(-1, c).astype(jnp.float32)
+    dys = jnp.sum(
+        g32 * ((u10 - u00) * (one - lx) + (u11 - u01) * lx
+               ).astype(jnp.float32), axis=-1).reshape(ys.shape
+                                                       ).astype(ys.dtype)
+    dxs = jnp.sum(
+        g32 * ((u01 - u00) * (one - ly) + (u11 - u10) * ly
+               ).astype(jnp.float32), axis=-1).reshape(xs.shape
+                                                       ).astype(xs.dtype)
+
+    # feature grad: the gather transpose — 4 scatter-adds of w_tap * g.
+    # Outside taps have w_tap == 0 (inside mask folded into the weights),
+    # so adding their zero update at the clipped row is harmless. The
+    # scatter runs in feat's OWN dtype — exactly what autodiff's transpose
+    # emits (dfeat is cast to feat.dtype on return regardless); in bf16 it
+    # also halves the update transients vs an fp32 accumulator.
+    gp = g.reshape(-1, c).astype(feat.dtype)
+    dflat = jnp.zeros((b * h * w, c), feat.dtype)
+    for wgt, idx in (((one - ly) * (one - lx) * m00, i00),
+                     ((one - ly) * lx * m01, i01),
+                     (ly * (one - lx) * m10, i10),
+                     (ly * lx * m11, i11)):
+        dflat = dflat.at[idx].add(gp * wgt)
+    dfeat = dflat.reshape(b, h, w, c)
+    return dfeat, dys, dxs
+
+
+_gather_core.defvjp(_gather_fwd, _gather_bwd)
 
 
 def _gather_bilinear_pair_batched(feat: jnp.ndarray, ys: jnp.ndarray,

@@ -167,3 +167,54 @@ def test_pairslice_gather_matches_flat(rng):
     np.testing.assert_allclose(np.asarray(a16, np.float32),
                                np.asarray(b16, np.float32),
                                atol=0.05, rtol=0.05)
+
+
+def test_custom_vjp_grads_match_autodiff(rng):
+    """The custom backward (recompute-in-bwd + scatter-add feature adjoint
+    + fp32-accumulated offset grads) must match plain autodiff through the
+    gather for BOTH feat and offsets, including boundary samples whose taps
+    fall outside the image."""
+    import jax
+
+    from slenderobjdet_tpu.ops.deform_conv import (
+        _gather_core,
+        _gather_impl,
+        deform_conv2d_batched,
+    )
+
+    B, H, W, C, K = 2, 9, 11, 6, 9
+    feat = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    # offsets spanning in-bounds, boundary-straddling, and fully-outside
+    offs = jnp.asarray(
+        (rng.rand(B, H, W, K, 2).astype(np.float32) - 0.5) * 8.0)
+    weight = jnp.asarray(rng.rand(K, C, 4).astype(np.float32) - 0.5)
+    cot = jnp.asarray(rng.rand(B, H, W, 4).astype(np.float32))
+
+    def loss(fn):
+        def f(fe, of):
+            yy = (jnp.arange(H, dtype=jnp.float32)[None, :, None, None]
+                  + of[..., 0])
+            xx = (jnp.arange(W, dtype=jnp.float32)[None, None, :, None]
+                  + of[..., 1])
+            s = fn(fe, yy, xx)
+            out = jax.lax.dot_general(
+                s.reshape(B * H * W, K * C), weight.reshape(K * C, 4),
+                dimension_numbers=(((1,), (0,)), ((), ())))
+            return jnp.sum(out.reshape(B, H, W, 4) * cot)
+        return f
+
+    g_auto = jax.grad(loss(_gather_impl), argnums=(0, 1))(feat, offs)
+    g_cust = jax.grad(loss(_gather_core), argnums=(0, 1))(feat, offs)
+    np.testing.assert_allclose(np.asarray(g_cust[0]), np.asarray(g_auto[0]),
+                               rtol=1e-5, atol=1e-6, err_msg="dfeat")
+    np.testing.assert_allclose(np.asarray(g_cust[1]), np.asarray(g_auto[1]),
+                               rtol=1e-4, atol=1e-5, err_msg="doffsets")
+
+    # and through the public op (mask + bias + batched), value unchanged
+    mask = jnp.asarray(rng.rand(B, H, W, K).astype(np.float32))
+    bias = jnp.asarray(rng.rand(4).astype(np.float32))
+    out = deform_conv2d_batched(feat, offs, weight, bias, mask)
+    assert out.shape == (B, H, W, 4)
+    g = jax.grad(lambda fe: jnp.sum(
+        deform_conv2d_batched(fe, offs, weight, bias, mask) * cot))(feat)
+    assert np.isfinite(np.asarray(g)).all()
