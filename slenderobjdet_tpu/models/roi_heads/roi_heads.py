@@ -12,6 +12,7 @@ pooling/box-head always see the same shapes.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Sequence, Tuple
 
 import flax.linen as nn
@@ -22,9 +23,17 @@ import numpy as np
 from ...ops.losses import smooth_l1_loss
 from ...ops.nms import batched_nms
 from ...ops.roi_align import (
+    multilevel_roi_align,
     multilevel_roi_align_fused,
     multilevel_roi_align_train,
 )
+
+# SLENDER_TRAIN_POOLER=alllevel restores the pool-every-level-and-select
+# pooler in TRAINING (the A/B "before" side of the fused single-gather
+# train pooler, VERDICT r3 #3a; family_train_bench numbers in
+# VALIDATION.md round-4 notes).
+_ALLLEVEL_TRAIN_POOLER = (
+    os.environ.get("SLENDER_TRAIN_POOLER", "") == "alllevel")
 from ...structures import boxes as box_ops
 from ..matchers import iou_matcher
 from ..sampling import subsample_labels
@@ -171,7 +180,12 @@ class StandardROIHeads:
         Memory note: rois are chunked via lax.map so the gathered transient
         stays bounded (unchunked, batch 8 x 512 rois x 4 levels exceeded
         HBM)."""
-        fn = multilevel_roi_align_fused if fused else multilevel_roi_align_train
+        if fused:
+            fn = multilevel_roi_align_fused
+        elif _ALLLEVEL_TRAIN_POOLER:
+            fn = multilevel_roi_align
+        else:
+            fn = multilevel_roi_align_train
         return fn(
             feats_per_image, self.strides, rois,
             output_size=self.pooler_resolution,
