@@ -79,6 +79,7 @@ def test_fpn_gn_norm_applied():
 
 
 
+@pytest.mark.slow  # heavy grad-parity oracle (full tier)
 def test_remat_backbone_identical_loss_and_grads():
     """TPU.REMAT_BACKBONE recomputes block activations in the backward pass;
     loss must be identical and gradients equal up to recompute-fusion
@@ -117,6 +118,7 @@ def test_remat_backbone_identical_loss_and_grads():
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow  # heavy grad-parity oracle (full tier)
 def test_remat_hourglass_tree_and_grads():
     """Hourglass remat must (1) keep the variable tree IDENTICAL to the
     unrematted module (nn.remat renames auto-named children, so every

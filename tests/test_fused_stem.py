@@ -8,6 +8,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# RESNETS.FUSED_STEM is default-off (measured on-chip loss, VALIDATION
+# round-3); parity record runs in the full tier only.
+pytestmark = pytest.mark.slow
+
 from slenderobjdet_tpu.ops.fused_stem import (
     fused_stem,
     reference_stem,

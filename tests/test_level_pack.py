@@ -3,11 +3,16 @@ output-equal to the per-level path (it is the SAME math — 3x3/pad-1 convs
 whose padding zeros are supplied by the 1-px inter-level gaps)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from slenderobjdet_tpu.ops.level_pack import (
     map_regions, pack_levels, plan_level_packing, unpack_levels)
+
+# TPU.PACK_HEAD_LEVELS is default-off (measured on-chip loss, VALIDATION
+# round-3); its parity record runs in the full tier only.
+pytestmark = pytest.mark.slow
 
 SHAPES = [(32, 48), (16, 24), (8, 12), (4, 6), (2, 3)]
 

@@ -2,6 +2,7 @@
 bit-identical predict, loadable without model code."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -37,6 +38,7 @@ def test_export_roundtrip(tiny_fcos, tmp_path):
         "meta.json", "model.stablehlo", "params.msgpack"]
 
 
+@pytest.mark.slow  # 26s quantize+rt; roundtrip stays in smoke
 def test_export_quantized_int8(tiny_fcos, tmp_path):
     """Weight-only int8 artifact: ~4x smaller weights, outputs within
     quantization tolerance of the fp32 artifact."""
