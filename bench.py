@@ -158,6 +158,36 @@ def main():
         float(timed(z, img))
     img_s = BATCH * ITERS * reps_outer / (time.perf_counter() - t0)
 
+    # Dynamic int8 inference (TPU.INT8_PREDICT, ops/quant.py): same weights,
+    # wide 3x3 convs on the MXU s8 path. Reported as a secondary number —
+    # the headline stays fp until real-data AP parity is shown (the
+    # rehearsal A/Bs it; synthetic head-output delta < 0.15 in tests).
+    cfg_q = cfg.clone()
+    cfg_q.defrost()
+    cfg_q.TPU.INT8_PREDICT = True
+    cfg_q.freeze()
+    det_q = build_model(cfg_q)
+
+    def timed_q(z, image):
+        def body(carry, _):
+            b = dict(batch)
+            b["image"] = image + carry.astype(image.dtype)
+            out = det_q.predict(variables, b)
+            s = jnp.sum(out["scores"][..., :1].astype(jnp.float32))
+            return s * 1e-30, ()
+
+        carry, _ = lax.scan(body, z, None, length=ITERS)
+        return carry
+
+    print(f"[bench] int8 compile t={time.perf_counter():.0f}",
+          file=sys.stderr)
+    timed_q = jax.jit(timed_q)
+    float(timed_q(z, img))
+    t0 = time.perf_counter()
+    for _ in range(reps_outer):
+        float(timed_q(z, img))
+    int8_img_s = BATCH * ITERS * reps_outer / (time.perf_counter() - t0)
+
     del batch
     # train measured on the plain backbone (the fused block's custom-VJP
     # backward recomputes via XLA; fused-train is a separate measurement)
@@ -169,6 +199,7 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / A100_FCOS_R50_IMG_S, 3),
         "train_img_s": round(train_img_s, 2),
+        "int8_img_s": round(int8_img_s, 2),
     }))
 
 

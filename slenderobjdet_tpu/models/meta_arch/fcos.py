@@ -288,6 +288,7 @@ class FCOS:
         self.nms_thresh = f.NMS_TH
         self.max_dets = cfg.TEST.DETECTIONS_PER_IMAGE
         self.approx_topk = cfg.TPU.APPROX_TOPK
+        self.int8_predict = cfg.TPU.INT8_PREDICT
         # FCOSTopK: restrict the REG loss to the top-k positives per gt by
         # centerness (reference fcos_topk.py:39-91,222-227); None = all
         self.topk_per_gt = None
@@ -439,7 +440,10 @@ class FCOS:
         image_hw = images.shape[1:3]
         locations_np, counts = self._locations(image_hw)
 
-        logits_l, reg_l, ctr_l = self.module.apply(variables, images, train=False)
+        from ...ops.quant import int8_predict_scope
+        with int8_predict_scope(self.int8_predict):
+            logits_l, reg_l, ctr_l = self.module.apply(
+                variables, images, train=False)
 
         offsets = np.concatenate([[0], np.cumsum(counts)])
         cand_boxes, cand_scores, cand_classes, cand_valid, cand_locs = \

@@ -183,6 +183,7 @@ class RetinaNet:
         self.nms_thresh = r.NMS_THRESH_TEST
         self.max_dets = cfg.TEST.DETECTIONS_PER_IMAGE
         self.approx_topk = cfg.TPU.APPROX_TOPK
+        self.int8_predict = cfg.TPU.INT8_PREDICT
 
         spec = build_backbone(cfg, dtype=dtype)
         self.backbone_spec = spec
@@ -333,7 +334,9 @@ class RetinaNet:
         images = batch["image"]
         anchors_np, counts = self._anchors(images.shape[1:3])
 
-        logits_l, regs_l = self.module.apply(variables, images)
+        from ...ops.quant import int8_predict_scope
+        with int8_predict_scope(self.int8_predict):
+            logits_l, regs_l = self.module.apply(variables, images)
 
         offsets = np.concatenate([[0], np.cumsum(counts)])
         cb, cs, cc, cv, ca = [], [], [], [], []

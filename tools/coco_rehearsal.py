@@ -197,6 +197,37 @@ def main():
                 "outside the 0.2 parity budget; rerun with TPU.APPROX_TOPK "
                 "False or raise ops/topk._RECALL_TARGET")
 
+    # A/B dynamic int8 inference (TPU.INT8_PREDICT, ops/quant.py) against fp
+    # on the same weights: the serving feature ships default-off until a
+    # real-data run shows the AP delta stays inside the parity budget. Only
+    # for meta-arches that wire the scope (FCOS/RetinaNet families —
+    # detected by the int8_predict attribute); for the rest the re-eval
+    # would just repeat the fp path.
+    # Skipped under --dry-run: the extra eval + int8-program compile costs
+    # minutes on the 1-core CI host while asserting nothing (dry-run APs are
+    # NaN); tests/test_quant.py covers the int8 path end-to-end on CPU.
+    if (not args.dry_run
+            and getattr(trainer.detector, "int8_predict", None) is not None):
+        cfg_q = cfg.clone()
+        cfg_q.defrost()
+        cfg_q.TPU.INT8_PREDICT = not cfg.TPU.INT8_PREDICT
+        cfg_q.freeze()
+        trainer.detector = build_model(cfg_q)
+        results_q = trainer.test()
+        qlabel = ("int8" if cfg.TPU.INT8_PREDICT else "fp",
+                  "int8" if cfg_q.TPU.INT8_PREDICT else "fp")
+        for ds in results:
+            a = results[ds]["bbox"]
+            b = results_q[ds]["bbox"]
+            print(f"[int8 A/B] {ds}: AP({qlabel[0]})={a['AP']:.3f} "
+                  f"AP({qlabel[1]})={b['AP']:.3f}")
+            if np.isfinite(a["AP"]) and np.isfinite(b["AP"]):
+                delta = abs(a["AP"] - b["AP"])
+                assert delta <= 0.3, (
+                    f"int8-vs-fp inference moved AP by {delta:.3f} on {ds} "
+                    "— keep TPU.INT8_PREDICT off for parity-critical "
+                    "serving")
+
     if args.dry_run:
         per_ds = next(iter(results.values()))
         ap50 = per_ds["bbox"]["AP50"]

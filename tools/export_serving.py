@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--quantize", action="store_true",
                     help="weight-only per-channel int8 (program dequantizes "
                          "in-graph)")
+    ap.add_argument("--int8", action="store_true",
+                    help="TPU.INT8_PREDICT: export with the dynamic int8 "
+                         "compute path baked into the program (ops/quant.py; "
+                         "measured 1.11x FCOS predict on v5e) — distinct "
+                         "from --quantize, which only shrinks the weights")
     ap.add_argument("--verify", action="store_true",
                     help="reload the artifact and compare one predict")
     args = ap.parse_args()
@@ -40,6 +45,8 @@ def main():
 
     cfg = get_cfg()
     cfg.merge_from_file(args.config)
+    if args.int8:
+        cfg.TPU.INT8_PREDICT = True
     cfg.freeze()
     det = build_model(cfg)
     variables = det.init_variables(jax.random.PRNGKey(0))

@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--size", type=int, nargs=2, default=(800, 1344))
+    ap.add_argument("--int8", action="store_true",
+                    help="TPU.INT8_PREDICT: dynamic int8 for the wide 3x3 "
+                         "convs (ops/quant.py)")
+    ap.add_argument("--opts", nargs="*", default=[],
+                    help="extra cfg dotted overrides")
     args = ap.parse_args()
     B = args.batch
     H, W = args.size
@@ -35,6 +40,10 @@ def main():
 
     cfg = get_cfg()
     cfg.merge_from_file(args.config)
+    if args.int8:
+        cfg.TPU.INT8_PREDICT = True
+    if args.opts:
+        cfg.merge_from_list(args.opts)
     cfg.freeze()
     det = build_model(cfg)
     variables = det.init_variables(jax.random.PRNGKey(0), (H, W),
@@ -72,7 +81,8 @@ def main():
         float(f(z, img, variables))
     dt = (time.perf_counter() - t0) / args.iters / args.reps
     name = cfg.MODEL.META_ARCHITECTURE
-    print(f"{name} B={B} {H}x{W}: {dt * 1e3 / B:.2f} ms/img "
+    tag = " int8" if args.int8 else ""
+    print(f"{name}{tag} B={B} {H}x{W}: {dt * 1e3 / B:.2f} ms/img "
           f"({B / dt:.1f} img/s)", flush=True)
 
 
