@@ -299,6 +299,7 @@ class AblationMetaArch:
 
     def __init__(self, cfg):
         self.cfg = cfg
+        self.int8_predict = cfg.TPU.INT8_PREDICT
         p = cfg.MODEL.META_ARCH
         dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
         self.head_name = p.NAME
@@ -476,7 +477,10 @@ class AblationMetaArch:
     def _lrtb_predict(self, variables, batch):
         images = batch["image"]
         locations_np, counts = fcos_locations(images.shape[1:3], self.strides)
-        cls_l, ctr_l, init_l, refine_l = self._lrtb_outputs(variables, images)
+        from ...ops.quant import int8_predict_scope
+        with int8_predict_scope(self.int8_predict):
+            cls_l, ctr_l, init_l, refine_l = self._lrtb_outputs(
+                variables, images)
 
         offsets = np.concatenate([[0], np.cumsum(counts)])
         cb, cs, cc, cv = [], [], [], []
@@ -587,9 +591,12 @@ class AblationMetaArch:
         return total, metrics
 
     def _pointset_predict(self, variables, batch):
+        from ...ops.quant import int8_predict_scope
+
         images = batch["image"]
         centers_np, counts, _ = self._centers(images.shape[1:3])
-        cls_l, _, init_l, refine_l = self.module.apply(variables, images)
+        with int8_predict_scope(self.int8_predict):
+            cls_l, _, init_l, refine_l = self.module.apply(variables, images)
         boxes_l = self._pointset_boxes(refine_l, centers_np, counts)
 
         from ...ops.topk import pair_top_k
@@ -657,9 +664,12 @@ class AblationMetaArch:
         return total, metrics
 
     def _anchor_predict(self, variables, batch):
+        from ...ops.quant import int8_predict_scope
+
         images = batch["image"]
         anchors_np, counts = self.anchor_spec.anchors(images.shape[1:3])
-        cls_l, _, init_l, refine_l = self.module.apply(variables, images)
+        with int8_predict_scope(self.int8_predict):
+            cls_l, _, init_l, refine_l = self.module.apply(variables, images)
 
         from ...ops.topk import pair_top_k
 

@@ -144,6 +144,7 @@ def corner_focal_loss(pred_logits, gt_heat, num_pos):
 class CornerNet:
     def __init__(self, cfg):
         self.cfg = cfg
+        self.int8_predict = cfg.TPU.INT8_PREDICT
         dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
         c = cfg.MODEL.CORNER_NET
         self.num_classes = c.NUM_CLASSES
@@ -249,8 +250,11 @@ class CornerNet:
 
     # ------------------------------------------------------------- inference
     def predict(self, variables, batch):
+        from ...ops.quant import int8_predict_scope
+
         images = batch["image"]
-        outs = self.module.apply(variables, images)
+        with int8_predict_scope(self.int8_predict):
+            outs = self.module.apply(variables, images)
         (tl_heat, tl_tag, tl_off), (br_heat, br_tag, br_off) = outs[-1]
         B, H, W, C = tl_heat.shape
         K = self.topk_corners

@@ -135,6 +135,7 @@ def anchor_iou_terms(pred, target):
 class FCOSAnchor:
     def __init__(self, cfg):
         self.cfg = cfg
+        self.int8_predict = cfg.TPU.INT8_PREDICT
         dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
         f = cfg.MODEL.FCOS
         self.num_classes = f.NUM_CLASSES
@@ -278,7 +279,10 @@ class FCOSAnchor:
         locations_np, counts, anchor_off_np, _ = self._geometry(
             images.shape[1:3])
         A = self.num_anchors
-        cls_l, reg_l, ctr_l, shape_l = self.module.apply(variables, images)
+        from ...ops.quant import int8_predict_scope
+        with int8_predict_scope(self.int8_predict):
+            cls_l, reg_l, ctr_l, shape_l = self.module.apply(
+                variables, images)
 
         offsets = np.concatenate([[0], np.cumsum(counts)])
         cb, cs, cc, cv = [], [], [], []

@@ -140,10 +140,13 @@ class RepPointsCenterness(RepPointsDetector):
         return total + ctr_loss, metrics
 
     def predict(self, variables, batch):
+        from ...ops.quant import int8_predict_scope
+
         images = batch["image"]
-        logits_l, init_l, refine_l, ctr_l = self.module.apply(
-            self._module_variables(variables), images
-        )
+        with int8_predict_scope(self.int8_predict):
+            logits_l, init_l, refine_l, ctr_l = self.module.apply(
+                self._module_variables(variables), images
+            )
         # gate logits by centerness before the shared decode
         gated = [
             lg + jax.nn.log_sigmoid(ct)[..., None]

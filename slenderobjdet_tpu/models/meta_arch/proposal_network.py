@@ -96,6 +96,7 @@ class ProposalNetworkWithMasks:
 
     def __init__(self, cfg):
         self.cfg = cfg
+        self.int8_predict = cfg.TPU.INT8_PREDICT
         dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
         pg = cfg.MODEL.PROPOSAL_GENERATOR
         self.in_features = (
@@ -175,7 +176,9 @@ class ProposalNetworkWithMasks:
     def predict(self, variables, batch):
         images = batch["image"]
         locations_np, counts = fcos_locations(images.shape[1:3], self.strides)
-        logits_l, regs_l = self.module.apply(variables, images)
+        from ...ops.quant import int8_predict_scope
+        with int8_predict_scope(self.int8_predict):
+            logits_l, regs_l = self.module.apply(variables, images)
 
         offsets = np.concatenate([[0], np.cumsum(counts)])
         cb, cs = [], []

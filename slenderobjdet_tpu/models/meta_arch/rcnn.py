@@ -62,6 +62,7 @@ class ProposalVisibleRCNN:
 
     def __init__(self, cfg, with_anchor: bool = False):
         self.cfg = cfg
+        self.int8_predict = cfg.TPU.INT8_PREDICT
         # Rotated two-stage path (reference configs/rotated/faster_R_*.yaml,
         # configs/submit/test_dev.yaml): PROPOSAL_GENERATOR "RRPN" +
         # ROI_HEADS "RROIHeads" swap in the XYWHA machinery wholesale.
@@ -192,7 +193,10 @@ class ProposalVisibleRCNN:
     def predict(self, variables, batch) -> Dict[str, jnp.ndarray]:
         images = batch["image"]
         main_vars, roi_vars = self._split_variables(variables)
-        logits_l, deltas_l, roi_feats = self.module.apply(main_vars, images)
+        from ...ops.quant import int8_predict_scope
+        with int8_predict_scope(self.int8_predict):
+            logits_l, deltas_l, roi_feats = self.module.apply(
+                main_vars, images)
         logits = jnp.concatenate(logits_l, axis=1)
         deltas = jnp.concatenate(deltas_l, axis=1)
 

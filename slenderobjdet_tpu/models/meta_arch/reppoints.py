@@ -325,6 +325,7 @@ class RepPointsDetector:
 
     def __init__(self, cfg):
         self.cfg = cfg
+        self.int8_predict = cfg.TPU.INT8_PREDICT
         dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
         rp = cfg.MODEL.REPPOINTS
         rn = cfg.MODEL.RETINANET
@@ -534,9 +535,12 @@ class RepPointsDetector:
 
     # ------------------------------------------------------------ inference
     def predict(self, variables, batch):
-        logits_l, init_l, refine_l = self.module.apply(
-            self._module_variables(variables), batch["image"]
-        )
+        from ...ops.quant import int8_predict_scope
+
+        with int8_predict_scope(self.int8_predict):
+            logits_l, init_l, refine_l = self.module.apply(
+                self._module_variables(variables), batch["image"]
+            )
         return self._predict_from_outputs(batch, logits_l, refine_l)
 
     def _predict_from_outputs(self, batch, logits_l, refine_l):

@@ -78,6 +78,7 @@ class RotatedRetinaNetModule(nn.Module):
 class RotatedRetinaNet:
     def __init__(self, cfg):
         self.cfg = cfg
+        self.int8_predict = cfg.TPU.INT8_PREDICT
         dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
         r = cfg.MODEL.RETINANET
         self.num_classes = r.NUM_CLASSES
@@ -166,7 +167,9 @@ class RotatedRetinaNet:
     def predict(self, variables, batch):
         images = batch["image"]
         anchors_np, counts = self.anchor_spec.anchors(images.shape[1:3])
-        logits_l, regs_l = self.module.apply(variables, images)
+        from ...ops.quant import int8_predict_scope
+        with int8_predict_scope(self.int8_predict):
+            logits_l, regs_l = self.module.apply(variables, images)
 
         offsets = np.concatenate([[0], np.cumsum(counts)])
         cb, cs, cc, cv = [], [], [], []

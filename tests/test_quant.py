@@ -76,6 +76,127 @@ def test_strided_eligible_conv_matches_fp_shape_and_value():
     assert rel < 0.05, rel
 
 
+# ---------------------------------------------------------------- families
+# Every meta-arch predict path is wired through int8_predict_scope (the
+# reference serves each family through the same fp evaluator,
+# /root/reference/slender_det/evaluation/evaluator.py:42-85; here each gets
+# the same TPU s8 serving switch). This matrix guards two things per family:
+# the scope plumbing (predict runs, outputs finite) and the eligibility
+# floor (wide R-18 trunks MUST diverge bitwise from fp because res4/res5
+# 3x3 convs are taken over; the narrow tiny hourglass has no eligible conv
+# so CornerNet must stay bit-identical).
+
+
+def _family_setup(arch):
+    from test_model_fcos import make_batch
+
+    from conftest import make_tiny_cfg
+
+    batch = make_batch()
+    if arch == "CornerNet":
+        from slenderobjdet_tpu.config import get_cfg
+
+        cfg = get_cfg()
+        cfg.MODEL.META_ARCHITECTURE = "CornerNet"
+        cfg.MODEL.HOURGLASS.STACKS = 1
+        cfg.MODEL.HOURGLASS.DEPTH_BLOCK = 3
+        cfg.MODEL.HOURGLASS.CHANNELS_BLOCK = [64, 64, 96, 96]
+        cfg.MODEL.HOURGLASS.NUM_CONV_BLOCK = [1, 1, 1, 2]
+        cfg.MODEL.HOURGLASS.STEM_OUT_CHANNELS = 32
+        cfg.MODEL.HOURGLASS.OUT_FEATURES = ["hourglass2"]
+        cfg.MODEL.CORNER_NET.IN_FEATURES = ["hourglass2"]
+        cfg.MODEL.CORNER_NET.NUM_CLASSES = 8
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        return cfg, batch
+    if arch == "ProposalVisibleRCNN":
+        from test_anchor_chain import _rcnn_cfg
+
+        cfg = _rcnn_cfg(arch)
+        cfg.defrost()
+        return cfg, batch
+    if arch.startswith("Ablation:"):
+        from test_model_ablation import ablation_cfg
+
+        cfg = ablation_cfg(arch.split(":")[1], "Empty")
+        cfg.defrost()
+        # random-init sigmoid scores sit near prior_prob ~0.01; keep some
+        # detections alive so the fp-vs-s8 comparison is non-degenerate
+        cfg.MODEL.META_ARCH.SCORE_THRESH_TEST = 0.0
+        cfg.MODEL.META_ARCH.PRE_NMS_THRESH = 0.0
+        return cfg, batch
+
+    cfg = make_tiny_cfg()
+    cfg.MODEL.META_ARCHITECTURE = arch
+    if arch == "RotatedRetinaNet":
+        from test_rotated_model import make_rotated_batch
+
+        cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32], [64], [128], [256], [512]]
+        cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[0.5, 1.0]]
+        cfg.MODEL.ANCHOR_GENERATOR.ANGLES = [[-45, 0, 45]]
+        batch = make_rotated_batch()
+    elif arch == "FCOSAnchor":
+        cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[64], [128], [256], [512], [1024]]
+        cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[0.5, 1.0, 2.0]]
+    elif arch == "RetinaNet":
+        cfg.MODEL.ANCHOR_GENERATOR.SIZES = [
+            [x, x * 2 ** (1 / 3), x * 2 ** (2 / 3)]
+            for x in [32, 64, 128, 256, 512]
+        ]
+    elif arch == "ProposalNetworkWithMasks":
+        cfg.NEED_MASKS = True
+    return cfg, batch
+
+
+def _first_output(out):
+    for key in ("scores", "proposals", "boxes"):
+        if key in out:
+            return key, np.asarray(out[key], np.float32)
+    raise AssertionError(f"no comparable output in {sorted(out)}")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("arch", [
+    "RetinaNet",
+    "RepPointsDetector",
+    "RepPointsCenterness",
+    "FCOSAnchor",
+    "RotatedRetinaNet",
+    "ProposalVisibleRCNN",
+    "ProposalNetworkWithMasks",
+    "CornerNet",
+    "Ablation:LRTBHead",
+    "Ablation:PointSetHead",
+    "Ablation:AnchorHead",
+])
+def test_family_int8_predict(arch):
+    from slenderobjdet_tpu.models import build_model
+
+    cfg, batch = _family_setup(arch)
+    cfg.TPU.INT8_PREDICT = True
+    cfg.freeze()
+    det_q = build_model(cfg)
+    variables = det_q.init_variables(jax.random.PRNGKey(0))
+    out_q = det_q.predict(variables, batch)
+    for k, v in out_q.items():
+        assert np.isfinite(np.asarray(v, np.float32)).all(), (arch, k)
+
+    cfg_fp = cfg.clone()
+    cfg_fp.defrost()
+    cfg_fp.TPU.INT8_PREDICT = False
+    cfg_fp.freeze()
+    out_fp = build_model(cfg_fp).predict(variables, batch)
+    key, q = _first_output(out_q)
+    fp = np.asarray(out_fp[key], np.float32)
+    assert q.shape == fp.shape, (arch, key)
+    if arch == "CornerNet":
+        # tiny hourglass: every conv is below the 256-in-channel floor ->
+        # the interceptor must leave the whole model alone
+        np.testing.assert_array_equal(q, fp)
+    else:
+        # R-18 trunk: res4/res5 3x3 convs are eligible -> the s8 path ran
+        assert not np.array_equal(q, fp), (arch, key)
+
+
 @pytest.mark.slow
 def test_fcos_int8_predict_close_to_fp():
     """End to end: tiny FCOS head outputs under TPU.INT8_PREDICT stay close
