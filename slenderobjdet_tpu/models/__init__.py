@@ -12,6 +12,14 @@ META_HEADS_REGISTRY = Registry("META_HEADS")
 
 def build_model(cfg):
     """Build the detector named by cfg.MODEL.META_ARCHITECTURE."""
+    if getattr(cfg.TPU, "INT8_SCALES", ""):
+        # make the calibrated activation scales (tools/int8_calibrate.py)
+        # ambient for every predict harness (trainer eval, bench tools,
+        # serving export) — overridable per-call via
+        # ops.quant.static_scales_scope
+        from ..ops.quant import load_json_scales, set_default_scales
+
+        set_default_scales(load_json_scales(cfg.TPU.INT8_SCALES))
     return META_ARCH_REGISTRY.get(cfg.MODEL.META_ARCHITECTURE)(cfg)
 
 

@@ -30,8 +30,8 @@ model); this is a TPU-native serving feature. Default OFF
 the same way APPROX_TOPK is gated.
 """
 
-from contextlib import nullcontext
-from typing import Any
+from contextlib import contextmanager, nullcontext
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -41,6 +41,34 @@ from jax import lax
 MIN_IN_FEATURES = 256
 MIN_OUT_FEATURES = 128
 MIN_KERNEL_TAPS = 9
+
+# Static (calibrated) mode extends eligibility to the 1x1 convs that LOSE
+# under dynamic quantization (the per-tensor max-abs reduction costs more
+# than int8 saves on them — round-4 probe 0.67x) but win once the scale is
+# a calibrated constant and the quantize pass is pure elementwise
+# (tools/int8_conv_probe.py `s8+st` column, VALIDATION round 5).
+STATIC_MIN_IN_FEATURES = 256
+STATIC_MIN_OUT_FEATURES = 128
+
+# Active static scales: {"path/to/conv": float_amax}. Two layers:
+#   - `static_scales_scope(...)` — per-call override (tests, probes);
+#   - `set_default_scales(...)` — process default, set by build_model from
+#     cfg.TPU.INT8_SCALES (so every predict harness picks it up).
+# _UNSET in the scope slot means "fall through to the default";
+# static_scales_scope(None) explicitly disables static scales.
+_UNSET = object()
+_STATIC_SCALES: Any = _UNSET
+_DEFAULT_SCALES: Optional[Dict[str, float]] = None
+
+# Active calibration sink: {"path/to/conv": running_amax}. When set (via
+# `calibration_scope`), eligible convs run in FULL precision and record the
+# max-abs of their input activation. Requires EAGER execution (the recorded
+# values are pulled to host floats) — run predict un-jitted to calibrate.
+_CALIB_SINK: Optional[Dict[str, float]] = None
+
+
+def module_path(mod: nn.Module) -> str:
+    return "/".join(mod.path)
 
 
 def quantize_conv_kernel(kernel: jnp.ndarray):
@@ -92,6 +120,7 @@ def _conv_is_plain(mod: nn.Conv) -> bool:
 
 
 def eligible(mod: Any, x: jnp.ndarray) -> bool:
+    """Dynamic-quantize eligibility (the measured round-4 winners)."""
     if type(mod) is not nn.Conv or x.ndim != 4:
         return False
     ks = _pair(mod.kernel_size)
@@ -102,8 +131,25 @@ def eligible(mod: Any, x: jnp.ndarray) -> bool:
     return _conv_is_plain(mod)
 
 
-def int8_conv_call(mod: nn.Conv, x: jnp.ndarray) -> jnp.ndarray:
-    """Quantized replacement for an eligible bound nn.Conv's __call__."""
+def static_eligible(mod: Any, x: jnp.ndarray) -> bool:
+    """Static-scale eligibility: any plain conv wide enough on both ends
+    (1x1s included — they win once the scale is a constant)."""
+    if type(mod) is not nn.Conv or x.ndim != 4:
+        return False
+    if (x.shape[-1] < STATIC_MIN_IN_FEATURES
+            or mod.features < STATIC_MIN_OUT_FEATURES):
+        return False
+    return _conv_is_plain(mod)
+
+
+def int8_conv_call(mod: nn.Conv, x: jnp.ndarray,
+                   act_scale: Optional[float] = None) -> jnp.ndarray:
+    """Quantized replacement for an eligible bound nn.Conv's __call__.
+
+    act_scale None -> per-tensor dynamic max-abs (calibration-free);
+    act_scale set  -> static calibrated scalar (elementwise quantize, no
+    cross-tensor reduction; values clip at the calibrated range).
+    """
     ks = _pair(mod.kernel_size)
     in_feat = x.shape[-1]
     groups = mod.feature_group_count
@@ -115,7 +161,12 @@ def int8_conv_call(mod: nn.Conv, x: jnp.ndarray) -> jnp.ndarray:
             if mod.use_bias else None)
 
     wq, ws = quantize_conv_kernel(kernel)
-    xq, xs = dynamic_quantize(x)
+    if act_scale is None:
+        xq, xs = dynamic_quantize(x)
+    else:
+        xs = jnp.float32(max(act_scale, 1e-12) / 127.0)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xs),
+                      -127, 127).astype(jnp.int8)
     acc = lax.conv_general_dilated(
         xq, wq,
         window_strides=_pair(mod.strides),
@@ -130,16 +181,121 @@ def int8_conv_call(mod: nn.Conv, x: jnp.ndarray) -> jnp.ndarray:
     return out.astype(mod.dtype or x.dtype)
 
 
+def _active_scales() -> Optional[Dict[str, float]]:
+    return _DEFAULT_SCALES if _STATIC_SCALES is _UNSET else _STATIC_SCALES
+
+
+def set_default_scales(scales: Optional[Dict[str, float]]) -> None:
+    """Process-wide default static scales (build_model wires this from
+    cfg.TPU.INT8_SCALES); `static_scales_scope` overrides per call."""
+    global _DEFAULT_SCALES
+    _DEFAULT_SCALES = dict(scales) if scales else None
+
+
+def load_json_scales(path: str) -> Dict[str, float]:
+    import json
+
+    with open(path) as f:
+        return {str(k): float(v) for k, v in json.load(f).items()}
+
+
 def _interceptor(next_fn, args, kwargs, context):
     mod = context.module
     if (context.method_name == "__call__" and args
-            and isinstance(args[0], jnp.ndarray) and eligible(mod, args[0])):
-        return int8_conv_call(mod, args[0])
+            and isinstance(args[0], jnp.ndarray)):
+        x = args[0]
+        scales = _active_scales()
+        if scales is not None and static_eligible(mod, x):
+            amax = scales.get(module_path(mod))
+            if amax is not None:
+                return int8_conv_call(mod, x, act_scale=amax)
+        if eligible(mod, x):
+            return int8_conv_call(mod, x)
+    return next_fn(*args, **kwargs)
+
+
+def _calib_interceptor(next_fn, args, kwargs, context):
+    mod = context.module
+    if (context.method_name == "__call__" and args
+            and isinstance(args[0], jnp.ndarray) and _CALIB_SINK is not None
+            and static_eligible(mod, args[0])):
+        key = module_path(mod)
+        amax = float(jnp.max(jnp.abs(args[0].astype(jnp.float32))))
+        _CALIB_SINK[key] = max(_CALIB_SINK.get(key, 0.0), amax)
     return next_fn(*args, **kwargs)
 
 
 def int8_predict_scope(enabled: bool):
-    """`with int8_predict_scope(cfg.TPU.INT8_PREDICT): module.apply(...)`."""
+    """`with int8_predict_scope(cfg.TPU.INT8_PREDICT): module.apply(...)`.
+
+    Dynamic-quantizes the measured-winner convs; additionally uses static
+    calibrated scales for any conv present in the surrounding
+    `static_scales_scope` (which widens eligibility to 1x1s)."""
     if not enabled:
         return nullcontext()
     return nn.intercept_methods(_interceptor)
+
+
+@contextmanager
+def static_scales_scope(scales: Optional[Dict[str, float]]):
+    """Provide calibrated per-conv activation max-abs values
+    ({module path: amax}) to any `int8_predict_scope` opened inside,
+    overriding the process default; None explicitly disables static
+    scales. The dict comes from `calibration_scope` /
+    tools/int8_calibrate.py."""
+    global _STATIC_SCALES
+    prev = _STATIC_SCALES
+    _STATIC_SCALES = dict(scales) if scales else None
+    try:
+        yield
+    finally:
+        _STATIC_SCALES = prev
+
+
+def traced_calibration(fn):
+    """Wrap a predict-like callable so it ALSO returns {path: amax} for
+    every static-eligible conv — jit-compatible (the amax values are traced
+    scalars computed in-graph, one device execution per batch):
+
+        out, amaxes = jax.jit(traced_calibration(det.predict))(vars, batch)
+        scales = {k: float(v) for k, v in amaxes.items()}
+
+    Accumulate `max` over batches on the host. Unlike `calibration_scope`
+    (eager, host-float sink) this costs one extra reduction per conv but
+    runs at full jit speed."""
+
+    def wrapped(*args, **kwargs):
+        records: Dict[str, Any] = {}
+
+        def icpt(next_fn, a, k, context):
+            mod = context.module
+            if (context.method_name == "__call__" and a
+                    and isinstance(a[0], jnp.ndarray)
+                    and static_eligible(mod, a[0])):
+                key = module_path(mod)
+                amax = jnp.max(jnp.abs(a[0].astype(jnp.float32)))
+                records[key] = (jnp.maximum(records[key], amax)
+                                if key in records else amax)
+            return next_fn(*a, **k)
+
+        with nn.intercept_methods(icpt):
+            out = fn(*args, **kwargs)
+        return out, records
+
+    return wrapped
+
+
+@contextmanager
+def calibration_scope(sink: Dict[str, float]):
+    """Record per-conv input max-abs into `sink` while running the model in
+    FULL precision. Must run EAGERLY (not under jit): the maxima are pulled
+    to host floats. Accumulates the running max across calls, so loop over
+    calibration batches inside one scope (or reuse the same sink)."""
+    global _CALIB_SINK
+    prev = _CALIB_SINK
+    _CALIB_SINK = sink
+    try:
+        with nn.intercept_methods(_calib_interceptor):
+            yield
+    finally:
+        _CALIB_SINK = prev

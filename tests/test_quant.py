@@ -234,3 +234,144 @@ def test_fcos_int8_predict_close_to_fp():
         qr, fr = np.asarray(qr, np.float32), np.asarray(fr, np.float32)
         denom = max(1.0, np.abs(fr).max())
         assert np.abs(qr - fr).max() / denom < 0.1
+
+
+# ---------------------------------------------------------------------------
+# Static (calibrated) scales: round-5 extension. Calibration records each
+# eligible conv's input max-abs eagerly; with the scales present, the
+# quantize pass uses a constant scalar scale (no per-tensor max reduction),
+# which extends int8 to the 1x1 convs the dynamic path leaves in fp
+# (tools/int8_conv_probe.py `s8+st` column).
+# ---------------------------------------------------------------------------
+
+
+class _TwoConv(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(256, (3, 3), padding=1, name="wide3x3",
+                    param_dtype=jnp.float32)(x)
+        x = nn.Conv(256, (1, 1), name="squeeze1x1",
+                    param_dtype=jnp.float32)(x)
+        return x
+
+
+def test_calibration_records_eligible_sites():
+    from slenderobjdet_tpu.ops.quant import calibration_scope
+
+    m = _TwoConv()
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.randn(1, 8, 8, 256), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    sink = {}
+    with calibration_scope(sink):
+        out_cal = m.apply(v, x)
+        m.apply(v, 2.0 * x)  # running max accumulates across calls
+    assert set(sink) == {"wide3x3", "squeeze1x1"}, sink
+    # calibration itself must not perturb the fp forward
+    np.testing.assert_array_equal(np.asarray(out_cal), np.asarray(m.apply(v, x)))
+    assert sink["wide3x3"] == pytest.approx(
+        float(jnp.max(jnp.abs(2.0 * x))), rel=1e-6)
+
+
+def test_static_scales_quantize_1x1_and_stay_close():
+    from slenderobjdet_tpu.ops.quant import (
+        calibration_scope,
+        int8_predict_scope,
+        static_scales_scope,
+    )
+
+    m = _TwoConv()
+    r = np.random.RandomState(1)
+    x = jnp.asarray(r.randn(2, 8, 8, 256), jnp.float32)
+    v = m.init(jax.random.PRNGKey(1), x)
+    fp = np.asarray(m.apply(v, x))
+
+    sink = {}
+    with calibration_scope(sink):
+        m.apply(v, x)
+
+    # dynamic-only: 1x1 untouched -> removing the 3x3's input dependence
+    # is impossible here, so instead check static != dynamic outputs
+    with int8_predict_scope(True):
+        dyn = np.asarray(m.apply(v, x))
+    with static_scales_scope(sink), int8_predict_scope(True):
+        st = np.asarray(m.apply(v, x))
+
+    # both close to fp; static engages the extra 1x1 so differs from dynamic
+    for q in (dyn, st):
+        rel = np.linalg.norm(q - fp) / np.linalg.norm(fp)
+        assert rel < 0.08, rel
+    assert not np.array_equal(st, dyn)
+
+    # scales missing the 1x1 -> the 1x1 stays fp: quantizing only the 3x3
+    # statically must match dynamic-3x3-only more closely than full static
+    part = {k: v_ for k, v_ in sink.items() if k == "wide3x3"}
+    with static_scales_scope(part), int8_predict_scope(True):
+        st_part = np.asarray(m.apply(v, x))
+    assert not np.array_equal(st_part, st)
+
+
+def test_default_scales_and_explicit_override():
+    from slenderobjdet_tpu.ops import quant
+
+    m = _TwoConv()
+    r = np.random.RandomState(2)
+    x = jnp.asarray(r.randn(1, 8, 8, 256), jnp.float32)
+    v = m.init(jax.random.PRNGKey(2), x)
+
+    sink = {}
+    with quant.calibration_scope(sink):
+        m.apply(v, x)
+    with quant.int8_predict_scope(True):
+        dyn = np.asarray(m.apply(v, x))
+
+    quant.set_default_scales(sink)
+    try:
+        with quant.int8_predict_scope(True):
+            st_default = np.asarray(m.apply(v, x))
+        # explicit None override disables static -> back to dynamic
+        with quant.static_scales_scope(None), quant.int8_predict_scope(True):
+            dyn2 = np.asarray(m.apply(v, x))
+    finally:
+        quant.set_default_scales(None)
+
+    assert not np.array_equal(st_default, dyn)
+    np.testing.assert_array_equal(dyn2, dyn)
+
+
+def test_static_scale_clips_outliers_but_tracks_range():
+    """An activation beyond the calibrated range clips (by design); within
+    range the static path matches the dynamic path's accuracy."""
+    from slenderobjdet_tpu.ops.quant import int8_predict_scope, static_scales_scope
+
+    conv = nn.Conv(256, (3, 3), padding=1, param_dtype=jnp.float32)
+    r = np.random.RandomState(3)
+    x = jnp.asarray(r.randn(1, 8, 8, 256), jnp.float32)
+    v = conv.init(jax.random.PRNGKey(3), x)
+    fp = np.asarray(conv.apply(v, x))
+
+    amax = float(jnp.max(jnp.abs(x)))
+    with static_scales_scope({"": amax}), int8_predict_scope(True):
+        st = np.asarray(conv.apply(v, x))
+    rel = np.linalg.norm(st - fp) / np.linalg.norm(fp)
+    assert rel < 0.05, rel
+
+
+def test_traced_calibration_matches_eager_sink():
+    from slenderobjdet_tpu.ops.quant import calibration_scope, traced_calibration
+
+    m = _TwoConv()
+    r = np.random.RandomState(4)
+    x = jnp.asarray(r.randn(1, 8, 8, 256), jnp.float32)
+    v = m.init(jax.random.PRNGKey(4), x)
+
+    sink = {}
+    with calibration_scope(sink):
+        out_eager = m.apply(v, x)
+
+    out_jit, amaxes = jax.jit(traced_calibration(m.apply))(v, x)
+    np.testing.assert_allclose(np.asarray(out_jit), np.asarray(out_eager),
+                               rtol=1e-6)
+    assert set(amaxes) == set(sink)
+    for k in sink:
+        assert float(amaxes[k]) == pytest.approx(sink[k], rel=1e-6)
