@@ -1,5 +1,14 @@
-"""Dynamic int8 inference: route the wide 3x3 convs through the MXU's
-s8 x s8 -> s32 path (2x bf16 peak on v5e) without touching any model code.
+"""Int8 inference: route wide convs through the MXU's s8 x s8 -> s32 path
+(2x bf16 peak on v5e) without touching any model code. Two modes:
+
+  - DYNAMIC (calibration-free, cfg.TPU.INT8_PREDICT alone): per-tensor
+    max-abs activation scales computed in-graph; only the measured-winner
+    wide 3x3s are taken over. FCOS R-50 predict 282.0 vs 255.7 img/s fp
+    (1.11x, v5e B=32 800x1344).
+  - STATIC (calibrated, + cfg.TPU.INT8_SCALES json from
+    tools/int8_calibrate.py): per-conv constant scales make the quantize
+    pass pure elementwise and extend coverage to >=128-ch convs incl.
+    1x1s. 312.9 img/s (1.22x fp, round-5 floor A/B below).
 
 How: `int8_predict_scope(enabled)` installs a `flax.linen.intercept_methods`
 interceptor around `module.apply` that replaces eligible `nn.Conv.__call__`s
@@ -30,6 +39,7 @@ model); this is a TPU-native serving feature. Default OFF
 the same way APPROX_TOPK is gated.
 """
 
+import os
 from contextlib import contextmanager, nullcontext
 from typing import Any, Dict, Optional
 
@@ -42,13 +52,21 @@ MIN_IN_FEATURES = 256
 MIN_OUT_FEATURES = 128
 MIN_KERNEL_TAPS = 9
 
-# Static (calibrated) mode extends eligibility to the 1x1 convs that LOSE
-# under dynamic quantization (the per-tensor max-abs reduction costs more
-# than int8 saves on them — round-4 probe 0.67x) but win once the scale is
-# a calibrated constant and the quantize pass is pure elementwise
-# (tools/int8_conv_probe.py `s8+st` column, VALIDATION round 5).
-STATIC_MIN_IN_FEATURES = 256
-STATIC_MIN_OUT_FEATURES = 128
+# Static (calibrated) mode extends eligibility to convs that LOSE under
+# dynamic quantization (the per-tensor max-abs reduction costs more than
+# int8 saves on them — round-4 probe: 1x1 0.67x, 128-ch 3x3 0.91x) but win
+# once the scale is a calibrated constant and the quantize pass is pure
+# elementwise (tools/int8_conv_probe.py `s8+st` column: 128-ch 3x3 flips
+# to 1.14x). Floor A/B'd end-to-end on v5e (FCOS R-50 B=32 800x1344,
+# round 5): floor 128 = 312.9 img/s vs floor 256 = 306.5 vs dynamic 282.0
+# vs fp 255.7 — so 128 is the default. The env knobs exist for on-chip
+# floor A/Bs (re-run tools/int8_calibrate.py with the same override so the
+# scales JSON covers the widened set); res2's 64-ch convs stay fp
+# (unmeasured, and the dynamic probe trend says they lose).
+STATIC_MIN_IN_FEATURES = int(os.environ.get(
+    "SLENDER_INT8_STATIC_MIN_IN", 128))
+STATIC_MIN_OUT_FEATURES = int(os.environ.get(
+    "SLENDER_INT8_STATIC_MIN_OUT", 128))
 
 # Active static scales: {"path/to/conv": float_amax}. Two layers:
 #   - `static_scales_scope(...)` — per-call override (tests, probes);

@@ -375,3 +375,49 @@ def test_traced_calibration_matches_eager_sink():
     assert set(amaxes) == set(sink)
     for k in sink:
         assert float(amaxes[k]) == pytest.approx(sink[k], rel=1e-6)
+
+
+@pytest.mark.slow  # R-50 build + one traced predict on CPU
+def test_bench_scales_json_matches_flagship_sites():
+    """The committed bench calibration JSON
+    (configs/int8_scales/fcos_R_50_bench.json, used by bench.py's static
+    int8 timing) must cover EXACTLY the flagship FCOS R-50's
+    static-eligible conv sites — if module naming or the eligibility
+    floors drift, bench would silently time a partially-quantized
+    program. Conv-site keys depend only on channel widths, not image
+    size, so a tiny spatial calibration reproduces the bench key set."""
+    import json
+    import os
+
+    import jax
+
+    from slenderobjdet_tpu.models import build_model
+    from slenderobjdet_tpu.ops.quant import traced_calibration
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "configs", "int8_scales",
+                        "fcos_R_50_bench.json")
+    committed = set(json.load(open(path)))
+
+    import sys
+
+    sys.path.insert(0, repo)
+    from __graft_entry__ import _flagship_cfg
+
+    cfg = _flagship_cfg()
+    cfg.defrost()
+    cfg.TPU.COMPUTE_DTYPE = "float32"  # CPU has no bf16 units
+    cfg.freeze()
+    det = build_model(cfg)
+    H = W = 64
+    variables = det.init_variables(jax.random.PRNGKey(0), (H, W),
+                                   batch_size=1)
+    r = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(r.randint(0, 255, (1, H, W, 3)), jnp.uint8),
+        "scale": jnp.full((1,), 1.0, jnp.float32),
+        "orig_size": jnp.asarray([[H, W]], jnp.float32),
+    }
+    _, amaxes = jax.jit(traced_calibration(det.predict))(variables, batch)
+    assert set(amaxes) == committed, (
+        sorted(set(amaxes) ^ committed))

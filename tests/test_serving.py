@@ -67,6 +67,61 @@ def test_export_quantized_int8(tiny_fcos, tmp_path):
     assert meta["quantize"] == "int8-weight-only"
 
 
+@pytest.mark.slow  # second export compile
+def test_export_int8_compute_static_scales_baked(tiny_fcos, tmp_path):
+    """`export_serving --int8 --int8-scales`: the static-calibrated int8
+    COMPUTE path (cfg.TPU.INT8_SCALES, ops/quant.py) bakes into the
+    exported StableHLO — the reloaded artifact matches the in-process
+    int8 predict exactly, with no quant state needed at load time."""
+    from conftest import make_tiny_cfg
+
+    from slenderobjdet_tpu.models import build_model
+    from slenderobjdet_tpu.ops import quant
+
+    _, variables = tiny_fcos
+    B, H, W = 1, 64, 64
+    batch = _batch(B, H, W)
+
+    # at random init the focal-prior cls bias puts every score under the
+    # default 0.05 pre-NMS threshold (all-zero outputs would compare equal
+    # vacuously) — zero it so real candidate scores flow through
+    cfg_fp = make_tiny_cfg()
+    cfg_fp.MODEL.FCOS.INFERENCE_TH = 0.0
+    cfg_fp.freeze()
+    det_fp = build_model(cfg_fp)
+
+    # calibrate the fp model (traced, one jitted call)
+    _, amaxes = jax.jit(quant.traced_calibration(det_fp.predict))(
+        variables, batch)
+    scales = {k: float(v) for k, v in amaxes.items()}
+    assert scales, "tiny FCOS should have static-eligible convs"
+
+    cfg = make_tiny_cfg()
+    cfg.MODEL.FCOS.INFERENCE_TH = 0.0
+    cfg.TPU.INT8_PREDICT = True
+    cfg.freeze()
+    det_q = build_model(cfg)
+    quant.set_default_scales(scales)
+    try:
+        path = export_detector(det_q, variables, str(tmp_path / "q8"),
+                               batch_size=B, image_hw=(H, W),
+                               platforms=["cpu"])
+        ref = jax.jit(det_q.predict)(variables, batch)
+    finally:
+        quant.set_default_scales(None)
+
+    # loaded artifact runs the baked static-int8 program; the process-level
+    # scales are gone, so equality proves they were baked in
+    out = load_detector(path)(batch)
+    for k in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(ref[k]))
+    # and it is a genuinely different program from the fp export
+    out_fp = jax.jit(det_fp.predict)(variables, batch)
+    assert not np.array_equal(np.asarray(out["scores"]),
+                              np.asarray(out_fp["scores"]))
+
+
 def test_quantize_roundtrip_error_bound():
     """Per-channel int8 quantization error is bounded by scale/2 per
     weight (symmetric rounding)."""

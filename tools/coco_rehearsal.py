@@ -228,6 +228,62 @@ def main():
                     "— keep TPU.INT8_PREDICT off for parity-critical "
                     "serving")
 
+        # STATIC calibrated int8 (round 5, cfg.TPU.INT8_SCALES): calibrate
+        # per-conv activation scales on real val batches with the trained
+        # weights, then assert the static path's AP stays in budget too —
+        # it quantizes MORE convs than dynamic (>=128-ch incl. 1x1s;
+        # 312.9 vs 282.0 img/s on v5e), so its AP shift is the one that
+        # needs real-data evidence most.
+        import jax
+        import jax.numpy as jnp
+
+        from slenderobjdet_tpu.data import build_detection_test_loader
+        from slenderobjdet_tpu.ops import quant
+
+        st = trainer.state
+        variables = {"params": st.params}
+        if st.buffers:
+            variables["buffers"] = st.buffers
+        calib = jax.jit(quant.traced_calibration(
+            build_model(cfg).predict))  # full-precision calibration forward
+        sink = {}
+        loader = build_detection_test_loader(cfg, cfg.DATASETS.TEST[0],
+                                             batch_size=4)
+        for i, b in enumerate(loader):
+            if i >= 4:
+                break
+            dev = {"image": jnp.asarray(b["image"]),
+                   "scale": jnp.asarray(b["scale"]),
+                   "orig_size": jnp.asarray(b["orig_size"])}
+            if "image_size" in b:
+                dev["image_size"] = jnp.asarray(b["image_size"])
+            _, amaxes = calib(variables, dev)
+            for k, v in amaxes.items():
+                sink[k] = max(sink.get(k, 0.0), float(v))
+        scales_path = os.path.join(cfg.OUTPUT_DIR, "int8_scales.json")
+        with open(scales_path, "w") as f:
+            json.dump(sink, f, indent=1)
+        cfg_s = cfg.clone()
+        cfg_s.defrost()
+        cfg_s.TPU.INT8_PREDICT = True
+        cfg_s.TPU.INT8_SCALES = scales_path
+        cfg_s.freeze()
+        trainer.detector = build_model(cfg_s)
+        results_s = trainer.test()
+        for ds in results:
+            a = results[ds]["bbox"]
+            b = results_s[ds]["bbox"]
+            print(f"[int8 static A/B] {ds}: AP(fp)={a['AP']:.3f} "
+                  f"AP(int8-static)={b['AP']:.3f} "
+                  f"({len(sink)} calibrated convs)")
+            if np.isfinite(a["AP"]) and np.isfinite(b["AP"]):
+                delta = abs(a["AP"] - b["AP"])
+                assert delta <= 0.3, (
+                    f"static-int8 inference moved AP by {delta:.3f} on "
+                    f"{ds} — serve the dynamic path (TPU.INT8_SCALES "
+                    "unset) or recalibrate on more batches")
+        quant.set_default_scales(None)
+
     if args.dry_run:
         per_ds = next(iter(results.values()))
         ap50 = per_ds["bbox"]["AP50"]
