@@ -83,6 +83,12 @@ def main():
     ap.add_argument("--output-dir", default="output/coco_rehearsal")
     ap.add_argument("--dry-run", action="store_true",
                     help="synthesize tiny COCO-format data + short schedule")
+    ap.add_argument("--ab-budget", type=float, default=0.3,
+                    help="max |dAP| for the int8 A/Bs. The 0.3 default is "
+                         "sized for real-COCO-scale val sets; on tiny "
+                         "synthetic sets one flipped detection moves AP by "
+                         "more than this (measured: 0.5 on a 16-image set), "
+                         "so widen it there")
     ap.add_argument("opts", nargs=argparse.REMAINDER,
                     help="dotted config overrides")
     args = ap.parse_args()
@@ -223,7 +229,7 @@ def main():
                   f"AP({qlabel[1]})={b['AP']:.3f}")
             if np.isfinite(a["AP"]) and np.isfinite(b["AP"]):
                 delta = abs(a["AP"] - b["AP"])
-                assert delta <= 0.3, (
+                assert delta <= args.ab_budget, (
                     f"int8-vs-fp inference moved AP by {delta:.3f} on {ds} "
                     "— keep TPU.INT8_PREDICT off for parity-critical "
                     "serving")
@@ -260,6 +266,10 @@ def main():
             _, amaxes = calib(variables, dev)
             for k, v in amaxes.items():
                 sink[k] = max(sink.get(k, 0.0), float(v))
+        # 10% headroom over the observed ranges: a val image outside the
+        # 4 calibration batches' activation envelope clips otherwise
+        # (standard PTQ margin; tools/int8_calibrate.py exposes --margin)
+        sink = {k: v * 1.1 for k, v in sink.items()}
         scales_path = os.path.join(cfg.OUTPUT_DIR, "int8_scales.json")
         with open(scales_path, "w") as f:
             json.dump(sink, f, indent=1)
@@ -278,7 +288,7 @@ def main():
                   f"({len(sink)} calibrated convs)")
             if np.isfinite(a["AP"]) and np.isfinite(b["AP"]):
                 delta = abs(a["AP"] - b["AP"])
-                assert delta <= 0.3, (
+                assert delta <= args.ab_budget, (
                     f"static-int8 inference moved AP by {delta:.3f} on "
                     f"{ds} — serve the dynamic path (TPU.INT8_SCALES "
                     "unset) or recalibrate on more batches")
