@@ -4,11 +4,15 @@
   - DYNAMIC (calibration-free, cfg.TPU.INT8_PREDICT alone): per-tensor
     max-abs activation scales computed in-graph; only the measured-winner
     wide 3x3s are taken over. FCOS R-50 predict 282.0 vs 255.7 img/s fp
-    (1.11x, v5e B=32 800x1344).
+    (1.11x, v5e B=32 800x1344). Suits SHALLOW wide towers only: on
+    hourglass-104 CornerNet (~185 eligible sites) the per-site max
+    reductions swamp the s8 win — 0.70x measured (round 5).
   - STATIC (calibrated, + cfg.TPU.INT8_SCALES json from
     tools/int8_calibrate.py): per-conv constant scales make the quantize
     pass pure elementwise and extend coverage to >=128-ch convs incl.
-    1x1s. 312.9 img/s (1.22x fp, round-5 floor A/B below).
+    1x1s. FCOS 312.9 img/s (1.22x fp, round-5 floor A/B below);
+    RetinaNet 1.19x; CornerNet 1.40x (the deep-stack case dynamic
+    loses).
 
 How: `int8_predict_scope(enabled)` installs a `flax.linen.intercept_methods`
 interceptor around `module.apply` that replaces eligible `nn.Conv.__call__`s

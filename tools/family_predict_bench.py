@@ -28,7 +28,10 @@ def main():
     ap.add_argument("--size", type=int, nargs=2, default=(800, 1344))
     ap.add_argument("--int8", action="store_true",
                     help="TPU.INT8_PREDICT: dynamic int8 for the wide 3x3 "
-                         "convs (ops/quant.py)")
+                         "convs (ops/quant.py); add --opts TPU.INT8_SCALES "
+                         "scales.json (tools/int8_calibrate.py) for the "
+                         "static calibrated path — wider coverage, no "
+                         "per-tensor max reductions")
     ap.add_argument("--opts", nargs="*", default=[],
                     help="extra cfg dotted overrides")
     args = ap.parse_args()
