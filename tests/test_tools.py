@@ -417,7 +417,10 @@ def test_coco_rehearsal_dry_run(tmp_path, config_file, extra_opts):
                     "--output-dir", out_dir,
                     "SOLVER.MAX_ITER", "8", "SOLVER.STEPS", "(5, 7)"]
                    + extra_opts,
-                   timeout=560)
+                   # the retina dry-run measured 430-560s on the 1-core CI
+                   # host depending on load; 560 flaked once under heavy
+                   # contention (round 5)
+                   timeout=1200)
     assert "dry-run complete" in out
     assert os.path.exists(os.path.join(out_dir, "metrics.json"))
 
