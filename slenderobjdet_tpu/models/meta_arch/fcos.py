@@ -209,10 +209,25 @@ def fcos_assign_single(
     num_classes: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-image FCOS target assignment (reference fcos.py:112-163),
-    fully vectorized. Returns labels (L,) int32 and reg targets (L, 4)."""
-    ltrb = box_ops.ltrb_from_locations(locations, gt_boxes)  # (L, G, 4)
-    is_in_box = jnp.min(ltrb, axis=2) > 0
-    max_reg = jnp.max(ltrb, axis=2)
+    fully vectorized. Returns labels (L,) int32 and reg targets (L, 4).
+
+    MEMORY: the four l/t/r/b planes are computed as separate (L, G)
+    tensors and the matched pair's lrtb is RECOMPUTED after the argmin
+    (identical fp ops -> bit-identical results) instead of gathered from
+    a stacked (L, G, 4) tensor. The stacked form's minor dim pads
+    4 -> 128 lanes under the TPU tiled layout (32x memory): at the
+    reference B=16 train batch with the mapper's gt pad of 100 the
+    padded copy is 19.08 GB and OOMs the 16 GB chip outright (measured
+    round 5; B=8 at 9.5 GB is why earlier family benches fit). Same
+    pathology and fix as the round-4 deform-conv (B,H,W,K,C) tap temps."""
+    xs = locations[:, 0:1]  # (L, 1)
+    ys = locations[:, 1:2]
+    l = xs - gt_boxes[None, :, 0]  # (L, G) each
+    t = ys - gt_boxes[None, :, 1]
+    r = gt_boxes[None, :, 2] - xs
+    b = gt_boxes[None, :, 3] - ys
+    is_in_box = jnp.minimum(jnp.minimum(l, t), jnp.minimum(r, b)) > 0
+    max_reg = jnp.maximum(jnp.maximum(l, t), jnp.maximum(r, b))
     cared = (max_reg >= sizes_of_interest[:, 0:1]) & (
         max_reg <= sizes_of_interest[:, 1:2]
     )
@@ -223,9 +238,12 @@ def fcos_assign_single(
     min_area = jnp.min(loc2gt, axis=1)
     gt_ind = jnp.argmin(loc2gt, axis=1)
 
-    reg_targets = jnp.take_along_axis(
-        ltrb, gt_ind[:, None, None].repeat(4, axis=2), axis=1
-    ).squeeze(1)
+    matched = gt_boxes[gt_ind]  # (L, 4)
+    reg_targets = jnp.stack(
+        [locations[:, 0] - matched[:, 0], locations[:, 1] - matched[:, 1],
+         matched[:, 2] - locations[:, 0], matched[:, 3] - locations[:, 1]],
+        axis=-1,
+    )
     labels = jnp.where(min_area >= INF, num_classes, gt_classes[gt_ind])
     return labels.astype(jnp.int32), reg_targets, gt_ind.astype(jnp.int32)
 

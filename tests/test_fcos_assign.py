@@ -4,6 +4,7 @@ re-implementation of the reference algorithm (fcos.py:112-163) as oracle."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from slenderobjdet_tpu.models.anchors import fcos_locations
 from slenderobjdet_tpu.models.meta_arch.fcos import (
@@ -103,3 +104,51 @@ def test_locations_grid():
     np.testing.assert_allclose(
         locs, [[4, 4], [12, 4], [4, 12], [12, 12]]
     )
+
+
+@pytest.mark.slow  # lowers the full train step at the reference eval shape
+def test_assignment_no_lgx4_intermediate_in_train_hlo():
+    """Regression guard for the round-5 OOM: the FCOS assignment must not
+    materialize a stacked (B, L, G, 4) pair tensor. Under the TPU tiled
+    layout the minor dim pads 4 -> 128 lanes (32x memory): at the
+    reference B=16 train batch with the mapper's gt pad of 100 the padded
+    copy was 19.08 GB on a 16 GB chip — real-COCO training OOMed while
+    the gt=24 bench fit. The fix computes four (L, G) planes and
+    recomputes the matched pair's lrtb after the argmin; this test pins
+    it by asserting the lowered train step contains no
+    <B x L x G x 4> tensor type."""
+    import re
+
+    import jax
+    import optax
+
+    from conftest import make_tiny_cfg
+    from slenderobjdet_tpu.models import build_model
+
+    cfg = make_tiny_cfg()
+    cfg.freeze()
+    det = build_model(cfg)
+    B, H, W, G = 2, 256, 256, 100
+    variables = det.init_variables(jax.random.PRNGKey(0), (H, W),
+                                   batch_size=B)
+    r = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(r.randint(0, 255, (B, H, W, 3)), jnp.uint8),
+        "gt_boxes": jnp.asarray(r.rand(B, G, 4).astype(np.float32) * 100),
+        "gt_classes": jnp.asarray(r.randint(0, 80, (B, G)), jnp.int32),
+        "gt_valid": jnp.ones((B, G), bool),
+    }
+
+    def loss_fn(params):
+        total, _ = det.loss({**variables, "params": params}, batch)
+        return total
+
+    lowered = jax.jit(jax.grad(loss_fn)).lower(variables["params"])
+    hlo = lowered.as_text()
+    # L = sum of level grid sizes at 256x256 (strides 8..128)
+    L = sum((H // s) * (W // s) for s in (8, 16, 32, 64, 128))
+    pat = re.compile(rf"{B}x{L}x{G}x4\b")
+    bad = sorted(set(pat.findall(hlo)))
+    assert not bad, (
+        f"lowered train step materializes a (B, L, G, 4) pair tensor "
+        f"{bad} — the 4-minor dim pads 32x on TPU (round-5 OOM)")
