@@ -51,12 +51,22 @@ def xyxy_to_xywh(boxes):
 
 
 def pairwise_intersection(boxes1, boxes2):
-    """(N,4),(M,4) -> (N,M) intersection areas."""
+    """(N,4),(M,4) -> (N,M) intersection areas.
+
+    Computed as four separate (N, M) coordinate planes — never a stacked
+    (N, M, 2) lt/rb tensor. Under the TPU tiled layout a minor dim of 2
+    pads to 128 lanes (64x memory) the moment XLA materializes the temp
+    instead of fusing it: at RPN-matcher scale (G=100 padded gt x ~268k
+    anchors) one such copy is ~13.7 GB/image. Same pathology as the
+    round-5 FCOS (L, G, 4) assignment OOM; identical fp ops either way."""
     xp = _xp(boxes1)
-    lt = xp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
-    rb = xp.minimum(boxes1[:, None, 2:], boxes2[None, :, 2:])
-    wh = xp.clip(rb - lt, 0, None)
-    return wh[..., 0] * wh[..., 1]
+    ix1 = xp.maximum(boxes1[:, None, 0], boxes2[None, :, 0])
+    iy1 = xp.maximum(boxes1[:, None, 1], boxes2[None, :, 1])
+    ix2 = xp.minimum(boxes1[:, None, 2], boxes2[None, :, 2])
+    iy2 = xp.minimum(boxes1[:, None, 3], boxes2[None, :, 3])
+    w = xp.clip(ix2 - ix1, 0, None)
+    h = xp.clip(iy2 - iy1, 0, None)
+    return w * h
 
 
 def pairwise_iou(boxes1, boxes2):
