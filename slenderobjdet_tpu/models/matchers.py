@@ -17,6 +17,57 @@ import jax.numpy as jnp
 from ..structures import boxes as box_ops
 
 
+def _matcher_core_chunked(anchors, gt_boxes, gt_valid, pairwise_fn,
+                          allow_low_quality_matches, chunk):
+    """(matched_vals, matched_idx, lq) streamed over anchor chunks so the
+    full (G, N) IoU matrix never lives at once.
+
+    SINGLE pass: each chunk's IoU is computed once; per-anchor max/argmax
+    over gt are chunk-local, the per-gt maximum combines across chunks
+    (max is order-exact), and the low-quality tie set is derived from the
+    SAME computed values via
+        iou == global_max  <=>  (iou == chunk_max) & (chunk_max == global_max)
+    (exact, since iou <= chunk_max <= global_max elementwise). A
+    recompute-in-a-second-pass design was tried first and is WRONG: two
+    jitted bodies may compile the identical IoU expression with different
+    association (e.g. a1+a2-inter), and a 1-ulp difference silently drops
+    exact-tie anchors from the low-quality set (caught by
+    tests/test_matchers.py on random float boxes)."""
+    N = anchors.shape[0]
+    pad = (-N) % chunk
+    if pad:
+        anchors = jnp.concatenate(
+            [anchors, jnp.zeros((pad,) + anchors.shape[1:], anchors.dtype)])
+    achunks = anchors.reshape(-1, chunk, anchors.shape[1])
+    # pad anchors are masked out of the per-gt max (their IoU from an
+    # arbitrary pairwise_fn on zero boxes could even be NaN — rotated)
+    avalid = (jnp.arange(achunks.shape[0] * chunk) < N).reshape(-1, chunk)
+
+    def body(cv):
+        c, v = cv
+        iou = pairwise_fn(gt_boxes, c)                     # (G, C)
+        iou = jnp.where(gt_valid[:, None], iou, -1.0)
+        iou = jnp.where(v[None, :], iou, -1.0)
+        chunk_pg = jnp.max(iou, axis=1)                    # (G,)
+        # (G, C) bool — N*G bits across all chunks, vs N*G fp32 one-shot
+        best = iou == chunk_pg[:, None]
+        return (jnp.max(iou, axis=0), jnp.argmax(iou, axis=0),
+                chunk_pg, best)
+
+    mv, mi, pg, best = jax.lax.map(body, (achunks, avalid))
+    matched_vals = mv.reshape(-1)[:N]
+    matched_idx = mi.reshape(-1)[:N].astype(jnp.int32)
+
+    lq = None
+    if allow_low_quality_matches:
+        global_pg = jnp.max(pg, axis=0)                    # (G,)
+        contrib = best & (pg == global_pg[None, :])[:, :, None]
+        contrib = (contrib & gt_valid[None, :, None]
+                   & (global_pg > 0)[None, :, None])
+        lq = jnp.any(contrib, axis=1).reshape(-1)[:N]      # (K, C) -> (N,)
+    return matched_vals, matched_idx, lq
+
+
 def iou_matcher(
     anchors: jnp.ndarray,          # (N, 4) — or (N, 5) XYWHA w/ pairwise_fn
     gt_boxes: jnp.ndarray,         # (G, 4) — or (G, 5)
@@ -25,6 +76,7 @@ def iou_matcher(
     labels: Sequence[int],
     allow_low_quality_matches: bool = True,
     pairwise_fn=None,
+    chunk: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """detectron2 Matcher semantics on padded gt.
 
@@ -32,28 +84,44 @@ def iou_matcher(
     ops.rotated.pairwise_rotated_iou for XYWHA boxes, as d2's RRPN/RROIHeads
     plug pairwise_iou_rotated into the same Matcher).
 
+    chunk > 0 streams the match over anchor chunks of that size — the
+    identical algorithm from one single-pass computation of each chunk's
+    IoU (tests/test_matchers.py pins chunked == one-shot bitwise on
+    exactly-representable integer-pixel boxes). Use for
+    N x G spaces whose live (G, N) matrix would blow the memory peak:
+    the vmapped B=16 x (100 gt x ~268k RPN anchors) match phase was the
+    round-5 R-CNN runtime OOM (VALIDATION round 5); MODEL.RPN.MATCHER
+    .CHUNK wires it for the RPN.
+
     Returns:
         matched_idx: (N,) int32 index into gt (0 when no valid gt)
         match_labels: (N,) int8 from `labels` per threshold bin
     """
     if pairwise_fn is None:
         pairwise_fn = box_ops.pairwise_iou
-    iou = pairwise_fn(gt_boxes, anchors)                   # (G, N)
-    iou = jnp.where(gt_valid[:, None], iou, -1.0)
-
-    matched_vals = jnp.max(iou, axis=0)                    # (N,)
-    matched_idx = jnp.argmax(iou, axis=0).astype(jnp.int32)
+    if chunk and anchors.shape[0] > chunk:
+        matched_vals, matched_idx, lq = _matcher_core_chunked(
+            anchors, gt_boxes, gt_valid, pairwise_fn,
+            allow_low_quality_matches, chunk)
+    else:
+        iou = pairwise_fn(gt_boxes, anchors)               # (G, N)
+        iou = jnp.where(gt_valid[:, None], iou, -1.0)
+        matched_vals = jnp.max(iou, axis=0)                # (N,)
+        matched_idx = jnp.argmax(iou, axis=0).astype(jnp.int32)
+        lq = None
+        if allow_low_quality_matches:
+            # anchors achieving the per-gt maximum IoU become foreground
+            highest_per_gt = jnp.max(iou, axis=1, keepdims=True)  # (G, 1)
+            is_best = ((iou == highest_per_gt)
+                       & gt_valid[:, None] & (highest_per_gt > 0))
+            lq = jnp.any(is_best, axis=0)
 
     match_labels = jnp.full(matched_vals.shape, labels[0], jnp.int8)
     edges = list(thresholds)
     for lo, label in zip(edges, labels[1:]):
         match_labels = jnp.where(matched_vals >= lo, jnp.int8(label), match_labels)
 
-    if allow_low_quality_matches:
-        # anchors achieving the per-gt maximum IoU become foreground
-        highest_per_gt = jnp.max(iou, axis=1, keepdims=True)  # (G, 1)
-        is_best = (iou == highest_per_gt) & gt_valid[:, None] & (highest_per_gt > 0)
-        lq = jnp.any(is_best, axis=0)
+    if lq is not None:
         match_labels = jnp.where(lq, jnp.int8(labels[-1]), match_labels)
 
     # with no valid gt everything is background

@@ -75,6 +75,7 @@ class RPN:
         self.iou_labels = list(r.IOU_LABELS)
         self.matcher_type = r.MATCHER.TYPE
         self.matcher_topk = r.MATCHER.TOPK
+        self.matcher_chunk = r.MATCHER.CHUNK
         self.bbox_reg_weights = tuple(r.BBOX_REG_WEIGHTS)
         self.smooth_l1_beta = r.SMOOTH_L1_BETA
         self.loss_weight = r.LOSS_WEIGHT
@@ -90,7 +91,8 @@ class RPN:
                                 k=self.matcher_topk)
         return iou_matcher(anchors, gt_boxes, gt_valid,
                            self.iou_thresholds, self.iou_labels,
-                           allow_low_quality_matches=True)
+                           allow_low_quality_matches=True,
+                           chunk=self.matcher_chunk)
 
     # ----------------------------------------------------------------- loss
     def losses(self, rng, anchors, logits, deltas, gt_boxes, gt_classes,

@@ -76,3 +76,53 @@ def test_topk_matcher_promotes_topk(rng):
     )
     assert int(lab[0]) == 1 and int(lab[1]) == 1  # top-2 for the gt
     assert int(lab[2]) == 0
+
+
+def test_chunked_matcher_bitwise_equals_oneshot():
+    """chunk > 0 must implement the identical algorithm: same matched_idx
+    and labels as the one-shot matcher, including cross-chunk low-quality
+    ties, invalid gt rows, non-divisible N (padding), and duplicate-IoU
+    ties. Boxes use INTEGER pixel coordinates so every intersection/area/
+    union is exactly representable in fp32 and the IoU is one correctly
+    rounded division -> bitwise identical across differently-compiled
+    programs. (With arbitrary float coords two XLA programs may associate
+    a1+a2-inter differently and disagree by 1 ulp at exact-tie
+    boundaries; the chunked implementation is internally consistent by
+    construction - see _matcher_core_chunked.)"""
+    for seed in (0, 7, 12, 42):
+        rng = np.random.RandomState(seed)
+        N, G = 1000, 17
+        anchors = np.stack([
+            rng.randint(0, 200, N), rng.randint(0, 200, N),
+            rng.randint(210, 410, N), rng.randint(210, 410, N)],
+            axis=1).astype(np.float32)
+        # duplicated anchors guarantee exact-IoU ties that must resolve
+        # identically chunked and not
+        anchors[500:520] = anchors[0:20]
+        gts = np.stack([
+            rng.randint(0, 200, G), rng.randint(0, 200, G),
+            rng.randint(210, 410, G), rng.randint(210, 410, G)],
+            axis=1).astype(np.float32)
+        valid = rng.rand(G) > 0.3
+
+        for lq in (True, False):
+            ref_idx, ref_lab = iou_matcher(
+                jnp.asarray(anchors), jnp.asarray(gts), jnp.asarray(valid),
+                [0.3, 0.7], [0, -1, 1], allow_low_quality_matches=lq)
+            for chunk in (128, 333, 999, 1000, 4096):
+                idx, lab = iou_matcher(
+                    jnp.asarray(anchors), jnp.asarray(gts),
+                    jnp.asarray(valid), [0.3, 0.7], [0, -1, 1],
+                    allow_low_quality_matches=lq, chunk=chunk)
+                np.testing.assert_array_equal(
+                    np.asarray(idx), np.asarray(ref_idx),
+                    err_msg=str((seed, lq, chunk)))
+                np.testing.assert_array_equal(
+                    np.asarray(lab), np.asarray(ref_lab),
+                    err_msg=str((seed, lq, chunk)))
+
+    # all-invalid gt: everything background either way
+    _, lab = iou_matcher(jnp.asarray(anchors), jnp.asarray(gts),
+                         jnp.zeros(G, bool), [0.3, 0.7], [0, -1, 1],
+                         chunk=128)
+    assert (np.asarray(lab) == 0).all()
